@@ -1,0 +1,116 @@
+"""Sparse container / converter tests against scipy oracles (SURVEY §4)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpu_spai.sparse import (
+    apply_dbc_masking,
+    blocks_from_coo,
+    csr_to_graph,
+    graph_to_csr,
+    random_spd_graph,
+)
+from tpu_spai.sparse.bcoo import build_ell, transpose_permutation
+
+
+def _rand_csr(rng, n=40, density=0.1, sym=True):
+    m = sp.random(n, n, density=density, random_state=rng, format="csr")
+    if sym:
+        m = sp.csr_matrix(m + m.T + sp.eye(n))
+    m.sort_indices()
+    return m
+
+
+def test_blocks_from_coo_roundtrip(rng):
+    b = 3
+    nb = 8
+    a = _rand_csr(rng, n=nb * b, density=0.2)
+    vals, brow, bcol = blocks_from_coo(a.tocoo(), b)
+    rebuilt = sp.bsr_matrix(
+        (vals, np.stack([brow, bcol])[1], None), shape=a.shape
+    ) if False else None
+    # rebuild via dense accumulation
+    dense = np.zeros(a.shape)
+    for v, r, c in zip(vals, brow, bcol):
+        dense[r * b : (r + 1) * b, c * b : (c + 1) * b] = v
+    np.testing.assert_allclose(dense, a.toarray(), atol=1e-14)
+
+
+def test_csr_graph_roundtrip_scalar(rng):
+    a = _rand_csr(rng)
+    g = csr_to_graph(a, block_size=1)
+    back = graph_to_csr(
+        np.stack([np.asarray(g.edge_row), np.asarray(g.edge_col)]),
+        g.blocks,
+        a.shape[0],
+    )
+    np.testing.assert_allclose(back.toarray(), a.toarray(), atol=1e-14)
+
+
+def test_csr_graph_roundtrip_block(rng):
+    b = 3
+    a = _rand_csr(rng, n=30)
+    g = csr_to_graph(a, block_size=b)
+    back = graph_to_csr(
+        np.stack([np.asarray(g.edge_row), np.asarray(g.edge_col)]),
+        g.blocks,
+        a.shape[0],
+    )
+    np.testing.assert_allclose(back.toarray(), a.toarray(), atol=1e-14)
+
+
+def test_dbc_masking_spd_and_identity_rows(rng):
+    a = _rand_csr(rng, n=20)
+    a = sp.csr_matrix(a @ a.T + 20 * sp.eye(20))  # SPD
+    mask = np.ones(20)
+    mask[[3, 7, 15]] = 0
+    m = apply_dbc_masking(a, mask)
+    md = m.toarray()
+    for i in [3, 7, 15]:
+        row = np.zeros(20)
+        row[i] = 1.0
+        np.testing.assert_allclose(md[i], row, atol=1e-14)
+        np.testing.assert_allclose(md[:, i], row, atol=1e-14)
+    # still SPD
+    w = np.linalg.eigvalsh(md)
+    assert w.min() > 0
+    # idempotent
+    np.testing.assert_allclose(apply_dbc_masking(m, mask).toarray(), md, atol=1e-14)
+
+
+def test_transpose_permutation(rng):
+    a = _rand_csr(rng)
+    coo = a.tocoo()
+    order = np.lexsort((coo.col, coo.row))
+    r, c = coo.row[order], coo.col[order]
+    perm = transpose_permutation(r, c)
+    np.testing.assert_array_equal(r[perm], c)
+    np.testing.assert_array_equal(c[perm], r)
+
+
+def test_build_ell_covers_all_edges(rng):
+    a = _rand_csr(rng, n=25)
+    coo = a.tocoo()
+    ell = build_ell(coo.row, coo.col, 25)
+    em = np.asarray(ell.ell_mask).astype(bool)
+    edges = np.asarray(ell.ell_edge)[em]
+    assert sorted(edges.tolist()) == list(range(coo.nnz))
+    # each edge sits in its own row
+    rows_of_slot = np.nonzero(em)[0]
+    np.testing.assert_array_equal(coo.row[edges], rows_of_slot)
+    np.testing.assert_array_equal(coo.col[edges], np.asarray(ell.ell_col)[em])
+
+
+def test_edge_padding(rng):
+    a = _rand_csr(rng, n=16)
+    nnz = a.nnz
+    g = csr_to_graph(a, pad_edges_to=nnz + 37)
+    assert g.n_edges == nnz + 37
+    back = graph_to_csr(
+        np.stack([np.asarray(g.edge_row), np.asarray(g.edge_col)]),
+        g.blocks,
+        16,
+        n_valid_edges=nnz,
+    )
+    np.testing.assert_allclose(back.toarray(), a.toarray(), atol=1e-14)
