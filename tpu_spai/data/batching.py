@@ -1,0 +1,158 @@
+"""Padded graph batching with segment ids (the TPU answer to PyG's ptr).
+
+The reference collates PyG graphs by concatenation and slices per-sample
+quantities with ``batch.ptr`` in Python loops (loss.py:131-141,
+workspace.py:114-143). Under XLA, dynamic per-sample slicing is hostile, so
+a `GraphBatch` instead carries
+  * ``node_seg`` / ``edge_seg`` — graph id per node/edge (padding rows get
+    id ``n_graphs``, an extra segment that reductions drop), and
+  * ``node_valid`` — 1/0 float mask over padded nodes,
+and every per-sample reduction becomes one `segment_sum`.
+
+Shapes are padded to buckets (next power-of-two style) so mixed-topology
+training reuses compiled programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.bcoo import BlockGraph, attach_ell
+
+
+def _static(**kw):
+    return field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GraphBatch:
+    """A batch of sparsity graphs, block-diagonally concatenated + padded."""
+
+    graph: BlockGraph  # matrix values A as blocks (with ELL views)
+    x: jax.Array  # [N, Fn] node features
+    edge_attr: jax.Array  # [E, Fe] edge features
+    mask: jax.Array  # [N, b] Dirichlet mask (0 on constrained dofs & padding)
+    residual: jax.Array  # [N, b] rhs r
+    node_seg: jax.Array  # int32 [N]; padding -> n_graphs
+    edge_seg: jax.Array  # int32 [E]; padding -> n_graphs
+    node_valid: jax.Array  # [N] float 1/0
+    n_graphs: int = _static(default=1)
+    diagonal: Optional[jax.Array] = None  # [N, b]
+    inv_diag: Optional[jax.Array] = None  # [N, b]
+    rsqrt_diag: Optional[jax.Array] = None  # [N, b]
+    gt: Optional[jax.Array] = None  # [N, b]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def block_size(self) -> int:
+        return self.graph.block_size
+
+    @property
+    def edge_index(self) -> jax.Array:
+        return jnp.stack([self.graph.edge_row, self.graph.edge_col])
+
+
+def _bucket(n: int, granularity: int = 256) -> int:
+    """Round up to a bucket boundary to bound the number of compilations."""
+    if n <= granularity:
+        return max(granularity, 1)
+    p = 1 << (int(np.ceil(np.log2(n))))
+    # use half-power-of-two steps (1.0x..1.5x overhead max)
+    half = 3 * (p // 4)
+    return half if n <= half else p
+
+
+def collate(
+    samples: Sequence["GraphSample"],
+    node_bucket: Optional[int] = None,
+    edge_bucket: Optional[int] = None,
+    dtype=jnp.float32,
+    with_ell: bool = True,
+    ell_width: Optional[int] = None,
+) -> GraphBatch:
+    """Concatenate `GraphSample`s (numpy, from the data pipeline) into one
+    padded `GraphBatch` on device."""
+    from .sample import GraphSample  # circular-safe
+
+    b = samples[0].block_size
+    n_graphs = len(samples)
+    n_total = sum(s.num_nodes for s in samples)
+    e_total = sum(s.edge_index.shape[1] for s in samples)
+    n_pad = node_bucket or _bucket(n_total)
+    e_pad = edge_bucket or _bucket(e_total)
+    if n_pad < n_total or e_pad < e_total:
+        raise ValueError(
+            f"bucket too small: nodes {n_total}>{n_pad} or edges {e_total}>{e_pad}"
+        )
+
+    def cat_pad(arrs, pad_rows, fill=0.0):
+        out = np.concatenate(arrs, axis=0)
+        if pad_rows:
+            pad = np.full((pad_rows,) + out.shape[1:], fill, dtype=out.dtype)
+            out = np.concatenate([out, pad], axis=0)
+        return out
+
+    rows, cols, node_seg, edge_seg = [], [], [], []
+    off = 0
+    for gid, s in enumerate(samples):
+        rows.append(s.edge_index[0] + off)
+        cols.append(s.edge_index[1] + off)
+        node_seg.append(np.full(s.num_nodes, gid, dtype=np.int32))
+        edge_seg.append(np.full(s.edge_index.shape[1], gid, dtype=np.int32))
+        off += s.num_nodes
+    pad_n = n_pad - n_total
+    pad_e = e_pad - e_total
+    row = np.concatenate(rows + [np.zeros(pad_e, dtype=np.int64)])
+    col = np.concatenate(cols + [np.zeros(pad_e, dtype=np.int64)])
+    node_seg = np.concatenate(node_seg + [np.full(pad_n, n_graphs, np.int32)])
+    edge_seg = np.concatenate(edge_seg + [np.full(pad_e, n_graphs, np.int32)])
+
+    blocks = cat_pad([s.matrix_values for s in samples], pad_e).astype(dtype)
+    graph = BlockGraph(
+        edge_row=jnp.asarray(row, dtype=jnp.int32),
+        edge_col=jnp.asarray(col, dtype=jnp.int32),
+        blocks=jnp.asarray(blocks),
+        n_nodes=n_pad,
+        block_size=b,
+    )
+    if with_ell:
+        graph = attach_ell(graph, n_valid=e_total, width=ell_width)
+
+    def opt(namefn):
+        vals = [namefn(s) for s in samples]
+        if any(v is None for v in vals):
+            return None
+        return jnp.asarray(cat_pad(vals, pad_n).astype(dtype))
+
+    node_valid = np.zeros(n_pad, dtype=np.float32)
+    node_valid[:n_total] = 1.0
+
+    return GraphBatch(
+        graph=graph,
+        x=jnp.asarray(cat_pad([s.x for s in samples], pad_n).astype(dtype)),
+        edge_attr=jnp.asarray(
+            cat_pad([s.edge_attr for s in samples], pad_e).astype(dtype)
+        ),
+        mask=jnp.asarray(cat_pad([s.mask for s in samples], pad_n).astype(dtype)),
+        residual=jnp.asarray(
+            cat_pad([s.residual for s in samples], pad_n).astype(dtype)
+        ),
+        node_seg=jnp.asarray(node_seg),
+        edge_seg=jnp.asarray(edge_seg),
+        node_valid=jnp.asarray(node_valid),
+        n_graphs=n_graphs,
+        diagonal=opt(lambda s: s.diagonal),
+        inv_diag=opt(lambda s: s.inv_diag),
+        rsqrt_diag=opt(lambda s: s.rsqrt_diag),
+        gt=opt(lambda s: s.gt),
+    )

@@ -1,0 +1,259 @@
+"""Flax GNN layers: encode-process-decode over matrix sparsity graphs.
+
+Capability parity with the reference model stack:
+  * ``FeedForward``         ~ neural_cg/nn/basic_layers.py:73-109
+  * ``MPLayer``             ~ basic_layers.py:145-225 (gather → MLP →
+    segment-sum scatter; node/edge residuals; optional MessageNorm — note
+    the reference's MessageNorm is dead code due to the ``hasattr`` typo at
+    basic_layers.py:200, so ``msg_norm`` here defaults to functional but the
+    shipped configs disable it for behavioral parity)
+  * ``NodeEdgeProcessing``  ~ neural_cg/nn/gnns.py:9-97
+  * ``PositionalEncoding``  ~ basic_layers.py:47-70 (unused by the
+    production path, provided for completeness)
+
+TPU-first notes: all ops are gathers, dense MLPs and `segment_sum` — no
+scatter kernels; shapes are static (padded nodes/edges with masks), so one
+compilation serves a whole bucketed dataset. The MLPs are tiny (16-wide by
+default, config/gnn.yaml), so the hot cost is the per-edge gather/concat —
+kept fusable by expressing everything in plain XLA ops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
+    name = name.lower()
+    table = {
+        "relu": nn.relu,
+        "tanh": jnp.tanh,
+        "sigmoid": nn.sigmoid,
+        "gelu": nn.gelu,
+        "elu": nn.elu,
+        "leaky_relu": nn.leaky_relu,
+        "none": lambda x: x,
+    }
+    if name not in table:
+        raise ValueError(f"Activation {name} not supported.")
+    return table[name]
+
+
+class _Norm(nn.Module):
+    """Pre-normalization: none / layer / rms ('batch' aliases to rms,
+    replicating the reference's alias at basic_layers.py:38)."""
+
+    kind: str
+
+    @nn.compact
+    def __call__(self, x):
+        kind = self.kind.lower()
+        if kind == "none":
+            return x
+        if kind in ("layer", "layernorm", "layer_norm"):
+            return nn.LayerNorm()(x)
+        if kind in ("rms", "rmsnorm", "rms_norm", "batch", "batchnorm", "batch_norm"):
+            return nn.RMSNorm()(x)
+        raise ValueError(f"Normalization {self.kind} not supported.")
+
+
+class FeedForward(nn.Module):
+    """MLP: pre-norm → lift → (num_layers-1) hidden → proj.
+
+    ``num_layers`` counts the lift + hidden stages (the projection adds one
+    more linear), matching the reference layer count.
+    """
+
+    out_channels: int
+    hidden_channels: Optional[int] = None  # defaults to out_channels
+    num_layers: int = 2
+    pre_norm: str = "none"
+    activation: str = "gelu"
+    out_activation: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.hidden_channels or self.out_channels
+        act = get_activation(self.activation)
+        x = _Norm(self.pre_norm)(x)
+        x = act(nn.Dense(hidden)(x))
+        for _ in range(1, self.num_layers):
+            x = act(nn.Dense(hidden)(x))
+        x = nn.Dense(self.out_channels)(x)
+        return get_activation(self.out_activation)(x)
+
+
+class MessageNorm(nn.Module):
+    """MsgNorm (Li et al. 2020): out = x + s * ||x||_2 * msg/||msg||_2."""
+
+    learn_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x, msg):
+        msg_n = msg / (jnp.linalg.norm(msg, axis=-1, keepdims=True) + 1e-12)
+        x_norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        if self.learn_scale:
+            s = self.param("scale", nn.initializers.ones, (1,))
+        else:
+            s = 1.0
+        return msg_n * x_norm * s
+
+
+class MPLayer(nn.Module):
+    """One message-passing round over (node_attr, edge_index, edge_attr).
+
+    message  : msg_mlp([x_dst ‖ x_src ‖ e])  → segment-sum/mean to dst
+    node upd : node_mlp(aggregated)  (+ residual)
+    edge upd : edge_mlp([x_dst ‖ x_src ‖ e]) (+ residual)
+
+    Convention: ``edge_index[0]`` is the matrix row (message destination),
+    ``edge_index[1]`` the column (source) — i.e. x_i = x[row], x_j = x[col],
+    matching PyG's default flow with (row, col) edges as built by the
+    reference's data pipeline.
+    """
+
+    node_channels: int
+    edge_channels: int
+    node_residual: bool = True
+    edge_residual: bool = True
+    node_mlp: Optional[dict] = None
+    edge_mlp: Optional[dict] = None
+    msg_mlp: Optional[dict] = None
+    aggr: str = "add"
+    msg_norm: bool = False
+
+    @nn.compact
+    def __call__(self, node_attr, edge_index, edge_attr, edge_weight=None):
+        n_nodes = node_attr.shape[0]
+        dst, src = edge_index[0], edge_index[1]
+        x_i = node_attr[dst]
+        x_j = node_attr[src]
+        feats = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
+
+        msg = FeedForward(
+            out_channels=self.node_channels, **(self.msg_mlp or {}), name="msg_mlp"
+        )(feats)
+        if edge_weight is not None:
+            msg = msg * edge_weight[:, None]
+        agg = jax.ops.segment_sum(msg, dst, num_segments=n_nodes)
+        if self.aggr == "mean":
+            ones = (
+                jnp.ones_like(msg[:, :1])
+                if edge_weight is None
+                else edge_weight[:, None]
+            )
+            cnt = jax.ops.segment_sum(ones, dst, num_segments=n_nodes)
+            agg = agg / jnp.maximum(cnt, 1.0)
+        elif self.aggr != "add":
+            raise ValueError(f"aggr {self.aggr} not supported")
+
+        if self.msg_norm:
+            agg = MessageNorm(name="node_msg_norm")(node_attr, agg)
+
+        node_new = FeedForward(
+            out_channels=self.node_channels, **(self.node_mlp or {}), name="node_mlp"
+        )(agg)
+        node_out = node_attr + node_new if self.node_residual else node_new
+
+        edge_new = FeedForward(
+            out_channels=self.edge_channels, **(self.edge_mlp or {}), name="edge_mlp"
+        )(feats)
+        edge_out = edge_attr + edge_new if self.edge_residual else edge_new
+        return node_out, edge_out
+
+
+class NodeEdgeProcessing(nn.Module):
+    """Encode-process-decode GNN producing per-edge block entries.
+
+    Mirrors gnns.py:9-97: node/edge FeedForward encoders, ``num_mp_layers``
+    MPLayers, then an edge decoder on [edge ‖ x_row ‖ x_col]; node decoder
+    is identity when ``node_out_features`` is None (the production setting —
+    the model's output is the factor entries on edges).
+    """
+
+    node_out_features: Optional[int] = None
+    edge_out_features: int = 1
+    node_features: int = 16
+    edge_features: int = 16
+    num_mp_layers: int = 4
+    node_residual: bool = True
+    edge_residual: bool = True
+    node_encoder: Optional[dict] = None
+    edge_encoder: Optional[dict] = None
+    node_decoder: Optional[dict] = None
+    edge_decoder: Optional[dict] = None
+    node_mlp: Optional[dict] = None
+    edge_mlp: Optional[dict] = None
+    msg_mlp: Optional[dict] = None
+    aggr: str = "add"
+    msg_norm: bool = False
+
+    @nn.compact
+    def __call__(self, node_attr, edge_index, edge_attr, edge_weight=None):
+        x = FeedForward(
+            out_channels=self.node_features,
+            **(self.node_encoder or {}),
+            name="node_enc",
+        )(node_attr)
+        e = FeedForward(
+            out_channels=self.edge_features,
+            **(self.edge_encoder or {}),
+            name="edge_enc",
+        )(edge_attr)
+
+        for i in range(self.num_mp_layers):
+            x, e = MPLayer(
+                node_channels=self.node_features,
+                edge_channels=self.edge_features,
+                node_residual=self.node_residual,
+                edge_residual=self.edge_residual,
+                node_mlp=self.node_mlp,
+                edge_mlp=self.edge_mlp,
+                msg_mlp=self.msg_mlp,
+                aggr=self.aggr,
+                msg_norm=self.msg_norm,
+                name=f"mp_{i}",
+            )(x, edge_index, e, edge_weight)
+
+        edge_dec_in = jnp.concatenate(
+            [e, x[edge_index[0]], x[edge_index[1]]], axis=-1
+        )
+        edge_out = FeedForward(
+            out_channels=self.edge_out_features,
+            **(self.edge_decoder or {}),
+            name="edge_dec",
+        )(edge_dec_in)
+
+        if self.node_out_features is None:
+            node_out = x
+        else:
+            node_out = FeedForward(
+                out_channels=self.node_out_features,
+                **(self.node_decoder or {}),
+                name="node_dec",
+            )(x)
+        return node_out, edge_out
+
+
+class PositionalEncoding(nn.Module):
+    """Sine positional encoding with exp-scaled frequencies (unused by the
+    production path; parity with basic_layers.py:47-70)."""
+
+    n_freqs: int = 1
+    base_freq: float = float(jnp.pi)
+    exp_scaling: bool = True
+
+    def output_dim(self, input_dim: int) -> int:
+        return (1 + self.n_freqs) * input_dim
+
+    @nn.compact
+    def __call__(self, x):
+        freqs = jnp.arange(1, self.n_freqs + 1, dtype=x.dtype) * self.base_freq
+        if self.exp_scaling:
+            freqs = jnp.exp2(freqs)
+        ys = [jnp.sin(x[..., [i]] * freqs) for i in range(x.shape[-1])]
+        return jnp.concatenate(ys + [x], axis=-1)
