@@ -1,0 +1,232 @@
+// Native host kernels: classical preconditioner factorizations.
+//
+// TPU-native-framework counterpart of the C++ factorization routines the
+// reference reaches through pymathprim (neural_cg/utils/validate.py:54-86:
+// preconditioner in {diagonal, ic, ainv, fsai}; cond.py:131-139 ainv/ichol
+// factor extraction). These run on host at benchmark/validation boundaries;
+// the device solve path (SpMV-only SPAI CG) never calls them.
+//
+// Exposed via C ABI for ctypes (tpu_spai/native.py). All matrices are
+// 0-indexed CSR with sorted column indices, double precision.
+//
+// Build: make -C csrc   (-> libtpu_spai_host.so)
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Incomplete Cholesky IC(0): in-place on the lower-triangular pattern.
+//
+// Input: strictly the lower triangle of SPD A (CSR, sorted, diagonal last in
+// each row). Output: L with L L^T ~= A on the same pattern.
+// Returns 0 on success, row index+1 where a nonpositive pivot was clamped.
+int ic0_lower_csr(int64_t n, const int64_t* indptr, const int32_t* indices,
+                  const double* a_data, double* l_data) {
+  int bad = 0;
+  // copy input values
+  std::memcpy(l_data, a_data, sizeof(double) * indptr[n]);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t ib = indptr[i], ie = indptr[i + 1];
+    for (int64_t pp = ib; pp < ie; ++pp) {
+      const int32_t j = indices[pp];
+      double s = l_data[pp];
+      // dot of rows i and j over columns < j
+      int64_t pi = ib, pj = indptr[j];
+      const int64_t pie = ie, pje = indptr[j + 1];
+      while (pi < pie && pj < pje) {
+        const int32_t ci = indices[pi], cj = indices[pj];
+        if (ci >= j || cj >= j) break;
+        if (ci == cj) {
+          s -= l_data[pi] * l_data[pj];
+          ++pi; ++pj;
+        } else if (ci < cj) {
+          ++pi;
+        } else {
+          ++pj;
+        }
+      }
+      if (j < i) {
+        // L[j,j] is the last entry of row j (sorted lower-tri pattern)
+        const double ljj = l_data[pje - 1];
+        l_data[pp] = s / ljj;
+      } else {  // j == i (diagonal)
+        if (s <= 0.0) {
+          s = 1e-12;
+          if (!bad) bad = static_cast<int>(i) + 1;
+        }
+        l_data[pp] = std::sqrt(s);
+      }
+    }
+  }
+  return bad;
+}
+
+// ---------------------------------------------------------------------------
+// FSAI (Kaporin): G lower triangular with the pattern of tril(A) such that
+// G A G^T ~= I. Row i solves the dense SPD subsystem A[J,J] g = e_i
+// (J = pattern columns of row i, last = i), then scales g /= sqrt(g_i).
+//
+// a_*: full SPD A (CSR sorted); l_*: lower-tri pattern (CSR sorted,
+// diagonal last). Output g_data on the lower pattern.
+int fsai_csr(int64_t n, const int64_t* a_indptr, const int32_t* a_indices,
+             const double* a_data, const int64_t* l_indptr,
+             const int32_t* l_indices, double* g_data) {
+  std::vector<double> sub;   // dense m×m scratch
+  std::vector<double> rhs;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t jb = l_indptr[i], je = l_indptr[i + 1];
+    const int64_t m = je - jb;
+    const int32_t* J = l_indices + jb;
+    sub.assign(m * m, 0.0);
+    rhs.assign(m, 0.0);
+    rhs[m - 1] = 1.0;
+    // gather A[J,J]
+    for (int64_t r = 0; r < m; ++r) {
+      const int32_t row = J[r];
+      int64_t p = a_indptr[row];
+      const int64_t pe = a_indptr[row + 1];
+      for (int64_t c = 0; c < m; ++c) {
+        const int32_t col = J[c];
+        while (p < pe && a_indices[p] < col) ++p;
+        if (p < pe && a_indices[p] == col) sub[r * m + c] = a_data[p];
+      }
+    }
+    // dense Cholesky solve sub * g = rhs
+    for (int64_t k = 0; k < m; ++k) {
+      double d = sub[k * m + k];
+      for (int64_t q = 0; q < k; ++q) d -= sub[k * m + q] * sub[k * m + q];
+      if (d <= 0.0) d = 1e-12;
+      d = std::sqrt(d);
+      sub[k * m + k] = d;
+      for (int64_t r = k + 1; r < m; ++r) {
+        double s = sub[r * m + k];
+        for (int64_t q = 0; q < k; ++q) s -= sub[r * m + q] * sub[k * m + q];
+        sub[r * m + k] = s / d;
+      }
+    }
+    for (int64_t k = 0; k < m; ++k) {  // forward
+      double s = rhs[k];
+      for (int64_t q = 0; q < k; ++q) s -= sub[k * m + q] * rhs[q];
+      rhs[k] = s / sub[k * m + k];
+    }
+    for (int64_t k = m - 1; k >= 0; --k) {  // backward
+      double s = rhs[k];
+      for (int64_t q = k + 1; q < m; ++q) s -= sub[q * m + k] * rhs[q];
+      rhs[k] = s / sub[k * m + k];
+    }
+    const double gi = rhs[m - 1] > 0 ? rhs[m - 1] : 1e-12;
+    const double scale = 1.0 / std::sqrt(gi);
+    for (int64_t r = 0; r < m; ++r) g_data[jb + r] = rhs[r] * scale;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// AINV (left-looking stabilized biconjugation, Benzi & Tuma): factored
+// sparse approximate inverse  A^{-1} ~= Z diag(1/p) Z^T  with Z unit upper
+// triangular (columns), drop tolerance on fill.
+//
+// Outputs CSC-like arrays for Z (capacity passed in; returns -1 if
+// exceeded). z_indptr has n+1 entries; z_indices/z_data get nnz(Z).
+int64_t ainv_csr(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 const double* a_data, double droptol, int64_t cap,
+                 int64_t* z_indptr, int32_t* z_indices, double* z_data,
+                 double* p_out) {
+  // Z stored column-wise as (row_idx sorted, value)
+  std::vector<std::vector<int32_t>> zrows(n);
+  std::vector<std::vector<double>> zvals(n);
+  std::vector<double> dense(n, 0.0);   // scratch for current column
+  std::vector<int32_t> touched;
+  std::vector<char> in_heap(n, 0);
+  std::vector<int32_t> heap;           // min-heap of candidate rows i < j
+  auto heap_push = [&](int32_t v) {
+    heap.push_back(v);
+    std::push_heap(heap.begin(), heap.end(), std::greater<int32_t>());
+  };
+  auto heap_pop = [&]() {
+    std::pop_heap(heap.begin(), heap.end(), std::greater<int32_t>());
+    int32_t v = heap.back();
+    heap.pop_back();
+    return v;
+  };
+
+  for (int64_t j = 0; j < n; ++j) {
+    // z_j starts as e_j; candidates i<j are rows whose a_i can see the
+    // current support of z_j (neighbors, via symmetry of A's pattern).
+    dense[j] = 1.0;
+    touched.clear();
+    touched.push_back(static_cast<int32_t>(j));
+    heap.clear();
+    auto push_neighbors = [&](int32_t r, int32_t lo) {
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int32_t i = indices[p];
+        if (i > lo && i < j && !in_heap[i]) {
+          in_heap[i] = 1;
+          heap_push(i);
+        }
+      }
+    };
+    push_neighbors(static_cast<int32_t>(j), -1);
+    while (!heap.empty()) {
+      const int32_t i = heap_pop();
+      in_heap[i] = 0;
+      // s = a_i^T z_j over current support
+      double s = 0.0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+        s += a_data[p] * dense[indices[p]];
+      if (s == 0.0) continue;
+      const double coef = s / p_out[i];
+      const auto& ri = zrows[i];
+      const auto& vi = zvals[i];
+      for (size_t k = 0; k < ri.size(); ++k) {
+        const int32_t r = ri[k];
+        if (dense[r] == 0.0 && std::fabs(coef * vi[k]) > 0.0) {
+          touched.push_back(r);
+          push_neighbors(r, i);  // later candidates only (A-orthogonality
+                                 // keeps earlier rows' dots ~0)
+        }
+        dense[r] -= coef * vi[k];
+      }
+    }
+    // p_j = a_j^T z_j
+    double pj = 0.0;
+    for (int64_t p = indptr[j]; p < indptr[j + 1]; ++p)
+      pj += a_data[p] * dense[indices[p]];
+    if (pj <= 0.0) pj = 1e-12;
+    p_out[j] = pj;
+    // gather with drop tolerance (always keep the unit diagonal)
+    std::sort(touched.begin(), touched.end());
+    touched.erase(std::unique(touched.begin(), touched.end()), touched.end());
+    auto& rj = zrows[j];
+    auto& vj = zvals[j];
+    for (int32_t r : touched) {
+      const double v = dense[r];
+      dense[r] = 0.0;
+      if (r == j || std::fabs(v) > droptol) {
+        rj.push_back(r);
+        vj.push_back(v);
+      }
+    }
+  }
+  // emit CSC
+  int64_t nnz = 0;
+  z_indptr[0] = 0;
+  for (int64_t j = 0; j < n; ++j) {
+    nnz += static_cast<int64_t>(zrows[j].size());
+    if (nnz > cap) return -1;
+    z_indptr[j + 1] = nnz;
+    const int64_t off = z_indptr[j];
+    for (size_t k = 0; k < zrows[j].size(); ++k) {
+      z_indices[off + k] = zrows[j][k];
+      z_data[off + k] = zvals[j][k];
+    }
+  }
+  return nnz;
+}
+
+}  // extern "C"

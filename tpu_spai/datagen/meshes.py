@@ -1,0 +1,165 @@
+"""Mesh generation + IO (host, numpy).
+
+Replaces the reference's external meshing stack (tetgen wheels, meshio,
+trimesh — datagen_helper.py:11-137) with self-contained generators:
+structured unit-box tet meshes (the elast_twist domain, elast_twist.py:22-28
+`unit_box`), structured grid triangle meshes (2-D heat/poisson domains),
+simple OBJ read/write, and boundary extraction utilities
+(datagen_helper.py:59-110).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+
+def unit_box_tet(nx: int, ny: int, nz: int, scale=(1.0, 1.0, 1.0)) -> Tuple[np.ndarray, np.ndarray]:
+    """Structured tet mesh of a box: (nx×ny×nz cells) × 6 tets each.
+
+    Returns (verts [n,3] float64, tets [m,4] int32). Vertex (i,j,k) id is
+    i*(ny+1)*(nz+1) + j*(nz+1) + k; coordinates span [0, scale].
+    """
+    xs = np.linspace(0, scale[0], nx + 1)
+    ys = np.linspace(0, scale[1], ny + 1)
+    zs = np.linspace(0, scale[2], nz + 1)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    verts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    i, j, k = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    c000 = vid(i, j, k).ravel()
+    c100 = vid(i + 1, j, k).ravel()
+    c010 = vid(i, j + 1, k).ravel()
+    c110 = vid(i + 1, j + 1, k).ravel()
+    c001 = vid(i, j, k + 1).ravel()
+    c101 = vid(i + 1, j, k + 1).ravel()
+    c011 = vid(i, j + 1, k + 1).ravel()
+    c111 = vid(i + 1, j + 1, k + 1).ravel()
+    # 6-tet (Kuhn) decomposition of each cube
+    tets = np.concatenate(
+        [
+            np.stack([c000, c100, c110, c111], axis=-1),
+            np.stack([c000, c110, c010, c111], axis=-1),
+            np.stack([c000, c010, c011, c111], axis=-1),
+            np.stack([c000, c011, c001, c111], axis=-1),
+            np.stack([c000, c001, c101, c111], axis=-1),
+            np.stack([c000, c101, c100, c111], axis=-1),
+        ]
+    ).astype(np.int32)
+    return verts.astype(np.float64), tets
+
+
+def grid_tri(nx: int, ny: int, scale=(1.0, 1.0)) -> Tuple[np.ndarray, np.ndarray]:
+    """Structured triangle mesh of a rectangle (embedded in 3-D, z=0)."""
+    xs = np.linspace(0, scale[0], nx + 1)
+    ys = np.linspace(0, scale[1], ny + 1)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    verts = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=-1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    a = vid(i, j).ravel()
+    b = vid(i + 1, j).ravel()
+    c = vid(i + 1, j + 1).ravel()
+    d = vid(i, j + 1).ravel()
+    tris = np.concatenate(
+        [np.stack([a, b, c], axis=-1), np.stack([a, c, d], axis=-1)]
+    ).astype(np.int32)
+    return verts.astype(np.float64), tris
+
+
+def perturbed_unit_box_tet(
+    nx: int, ny: int, nz: int, jitter: float, rng: np.random.Generator,
+    scale=(1.0, 1.0, 1.0),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Unit box with interior vertices jittered — a cheap stand-in for
+    remeshed/TetWild variable-topology meshes (each sample a distinct
+    geometry; boundary kept to preserve the domain)."""
+    verts, tets = unit_box_tet(nx, ny, nz, scale)
+    h = np.array(scale) / np.array([nx, ny, nz])
+    interior = np.ones(len(verts), dtype=bool)
+    for d, s in enumerate(scale):
+        interior &= (verts[:, d] > 1e-12) & (verts[:, d] < s - 1e-12)
+    verts = verts.copy()
+    verts[interior] += (rng.random((interior.sum(), 3)) - 0.5) * (2 * jitter) * h
+    return verts, tets
+
+
+def boundary_faces_tet(tets: np.ndarray) -> np.ndarray:
+    """Faces appearing exactly once across the mesh (datagen_helper.py:59-91)."""
+    faces = np.concatenate(
+        [
+            tets[:, [0, 1, 2]],
+            tets[:, [0, 1, 3]],
+            tets[:, [0, 2, 3]],
+            tets[:, [1, 2, 3]],
+        ]
+    )
+    key = np.sort(faces, axis=1)
+    _, inv, counts = np.unique(
+        key, axis=0, return_inverse=True, return_counts=True
+    )
+    return faces[counts[inv] == 1]
+
+
+def boundary_vertices_tet(tets: np.ndarray) -> np.ndarray:
+    return np.unique(boundary_faces_tet(tets))
+
+
+def boundary_vertices_tri(tris: np.ndarray) -> np.ndarray:
+    """Vertices of edges appearing exactly once (triangle mesh boundary)."""
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    key = np.sort(edges, axis=1)
+    _, inv, counts = np.unique(key, axis=0, return_inverse=True, return_counts=True)
+    return np.unique(edges[counts[inv] == 1])
+
+
+def subgraph_grow(
+    adj_indptr: np.ndarray, adj_indices: np.ndarray, seeds: np.ndarray, hops: int
+) -> np.ndarray:
+    """BFS-grow a vertex set `hops` rings through the mesh graph
+    (~ datagen_helper.py:140-178, adjacency-power version)."""
+    mark = np.zeros(len(adj_indptr) - 1, dtype=bool)
+    mark[seeds] = True
+    frontier = np.asarray(seeds)
+    for _ in range(hops):
+        nxt = []
+        for v in frontier:
+            nxt.append(adj_indices[adj_indptr[v] : adj_indptr[v + 1]])
+        if not nxt:
+            break
+        cand = np.unique(np.concatenate(nxt))
+        frontier = cand[~mark[cand]]
+        mark[frontier] = True
+    return np.nonzero(mark)[0]
+
+
+def save_obj(path, verts: np.ndarray, faces: np.ndarray):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for face in faces:
+            f.write("f " + " ".join(str(i + 1) for i in face) + "\n")
+
+
+def load_obj(path) -> Tuple[np.ndarray, np.ndarray]:
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            p = line.split()
+            if not p:
+                continue
+            if p[0] == "v":
+                verts.append([float(x) for x in p[1:4]])
+            elif p[0] == "f":
+                faces.append([int(x.split("/")[0]) - 1 for x in p[1:4]])
+    return np.asarray(verts, dtype=np.float64), np.asarray(faces, dtype=np.int32)

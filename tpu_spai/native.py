@@ -1,0 +1,179 @@
+"""ctypes bindings for the native host library (csrc/libtpu_spai_host.so).
+
+Native C++ equivalents of the reference's external C++ components:
+  * `ic0` / `fsai` / `ainv`  ~ pymathprim's classical preconditioner
+    factorizations (validate.py:54-86 method in {ic, fsai, ainv},
+    cond.py:131-139).
+  * `assemble_p1_tet` / `assemble_p1_tri` ~ pymathprim.geometry.laplacian /
+    lumped_mass (datagen/heat.py:9 etc.).
+
+The library auto-builds via `make -C csrc` on first import if missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+_CSRC = Path(__file__).resolve().parent.parent / "csrc"
+_LIB_PATH = _CSRC / "libtpu_spai_host.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        subprocess.run(["make", "-C", str(_CSRC)], check=True, capture_output=True)
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    i64 = ctypes.c_int64
+    f64 = ctypes.c_double
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C")
+    p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C")
+
+    lib.ic0_lower_csr.restype = ctypes.c_int
+    lib.ic0_lower_csr.argtypes = [i64, p_i64, p_i32, p_f64, p_f64]
+    lib.fsai_csr.restype = ctypes.c_int
+    lib.fsai_csr.argtypes = [i64, p_i64, p_i32, p_f64, p_i64, p_i32, p_f64]
+    lib.ainv_csr.restype = i64
+    lib.ainv_csr.argtypes = [i64, p_i64, p_i32, p_f64, f64, i64, p_i64, p_i32, p_f64, p_f64]
+    lib.assemble_p1_tet.restype = None
+    lib.assemble_p1_tet.argtypes = [i64, i64, p_f64, p_i32, ctypes.c_void_p,
+                                    p_i32, p_i32, p_f64, ctypes.c_void_p]
+    lib.assemble_p1_tri.restype = None
+    lib.assemble_p1_tri.argtypes = lib.assemble_p1_tet.argtypes
+    _lib = lib
+    return lib
+
+
+def _lower_csr(a: sp.csr_matrix) -> sp.csr_matrix:
+    low = sp.tril(a, format="csr")
+    low.sort_indices()
+    return low
+
+
+def ic0(a: sp.csr_matrix) -> sp.csr_matrix:
+    """Incomplete Cholesky L (zero fill): L L^T ~= A on tril(A)'s pattern."""
+    lib = _load()
+    low = _lower_csr(sp.csr_matrix(a, dtype=np.float64))
+    out = np.empty_like(low.data)
+    lib.ic0_lower_csr(
+        low.shape[0],
+        low.indptr.astype(np.int64),
+        low.indices.astype(np.int32),
+        low.data,
+        out,
+    )
+    return sp.csr_matrix((out, low.indices, low.indptr), shape=low.shape)
+
+
+def fsai(a: sp.csr_matrix) -> sp.csr_matrix:
+    """Kaporin FSAI factor G (pattern tril(A)): G A G^T ~= I, so
+    M^{-1} = G^T G preconditions CG with SpMVs only."""
+    lib = _load()
+    a = sp.csr_matrix(a, dtype=np.float64)
+    a.sort_indices()
+    low = _lower_csr(a)
+    out = np.empty_like(low.data)
+    lib.fsai_csr(
+        a.shape[0],
+        a.indptr.astype(np.int64),
+        a.indices.astype(np.int32),
+        a.data,
+        low.indptr.astype(np.int64),
+        low.indices.astype(np.int32),
+        out,
+    )
+    return sp.csr_matrix((out, low.indices, low.indptr), shape=low.shape)
+
+
+def ainv(
+    a: sp.csr_matrix, droptol: float = 0.1, fill_cap_ratio: float = 10.0
+) -> Tuple[sp.csr_matrix, np.ndarray]:
+    """Benzi-Tuma stabilized AINV: A^{-1} ~= Z diag(1/p) Z^T (Z unit upper
+    triangular, columns returned CSC->CSR-of-transpose). Returns (Z, p)."""
+    lib = _load()
+    a = sp.csr_matrix(a, dtype=np.float64)
+    a.sort_indices()
+    n = a.shape[0]
+    cap = int(max(a.nnz * fill_cap_ratio, n * 4))
+    for _ in range(4):
+        z_indptr = np.zeros(n + 1, dtype=np.int64)
+        z_indices = np.zeros(cap, dtype=np.int32)
+        z_data = np.zeros(cap, dtype=np.float64)
+        p = np.zeros(n, dtype=np.float64)
+        nnz = lib.ainv_csr(
+            n,
+            a.indptr.astype(np.int64),
+            a.indices.astype(np.int32),
+            a.data,
+            float(droptol),
+            cap,
+            z_indptr,
+            z_indices,
+            z_data,
+            p,
+        )
+        if nnz >= 0:
+            z = sp.csc_matrix(
+                (z_data[:nnz], z_indices[:nnz], z_indptr), shape=(n, n)
+            )
+            return sp.csr_matrix(z), p
+        cap *= 4
+    raise RuntimeError("AINV fill cap exceeded repeatedly")
+
+
+def assemble_p1(
+    verts: np.ndarray,
+    elems: np.ndarray,
+    field: Optional[np.ndarray] = None,
+    with_mass: bool = True,
+) -> Tuple[sp.csr_matrix, Optional[np.ndarray]]:
+    """P1 stiffness (Laplacian) + lumped mass for tri/tet meshes.
+
+    verts [n,3] float64; elems [m,3] (triangles) or [m,4] (tets) int32;
+    field: optional per-element coefficient.
+    """
+    lib = _load()
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    elems = np.ascontiguousarray(elems, dtype=np.int32)
+    n, m = len(verts), len(elems)
+    k = elems.shape[1]
+    per = k * k
+    rows = np.zeros(per * m, dtype=np.int32)
+    cols = np.zeros(per * m, dtype=np.int32)
+    vals = np.zeros(per * m, dtype=np.float64)
+    mass = np.zeros(n, dtype=np.float64) if with_mass else None
+    fptr = None
+    if field is not None:
+        field = np.ascontiguousarray(field, dtype=np.float64)
+        fptr = field.ctypes.data_as(ctypes.c_void_p)
+    mptr = mass.ctypes.data_as(ctypes.c_void_p) if with_mass else None
+    fn = lib.assemble_p1_tet if k == 4 else lib.assemble_p1_tri
+    fn(n, m, verts, elems, fptr, rows, cols, vals, mptr)
+    lap = sp.csr_matrix(
+        sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    )
+    lap.sort_indices()
+    return lap, mass
+
+
+def laplacian(
+    verts: np.ndarray, elems: np.ndarray, field: Optional[np.ndarray] = None
+) -> sp.csr_matrix:
+    """~ pymathprim.geometry.laplacian (datagen/heat.py:9)."""
+    lap, _ = assemble_p1(verts, elems, field, with_mass=False)
+    return lap
+
+
+def lumped_mass(verts: np.ndarray, elems: np.ndarray) -> np.ndarray:
+    """~ pymathprim.geometry.lumped_mass — diagonal mass vector."""
+    _, mass = assemble_p1(verts, elems, None, with_mass=True)
+    return mass

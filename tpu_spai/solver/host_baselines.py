@@ -1,0 +1,216 @@
+"""Host CG benchmark harness + classical preconditioner baselines.
+
+Parity surface: neural_cg/utils/validate.py (§2.6 of SURVEY.md) — the
+functions that time CG under {none, diagonal, IC0, AINV, FSAI, neural SPAI}
+preconditioning and raise on non-convergence. The native factorizations
+come from csrc/ (tpu_spai.native); the solve loop here is scipy's fp64 CG
+with an iteration-counting callback, which is the reference's own fallback
+path (validate.py:163-341) and our ground truth for iteration-count parity.
+
+Device-side solves (the production path) live in solver/cg.py; these host
+routines exist for baselines, analysis (cond.py equivalent) and tests.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+class _CountCB:
+    def __init__(self):
+        self.n = 0
+
+    def __call__(self, _xk):
+        self.n += 1
+
+
+def _run_cg(
+    a: sp.csr_matrix,
+    b: np.ndarray,
+    m_op: Optional[spla.LinearOperator],
+    rtol: float,
+    max_iter: int,
+) -> Tuple[np.ndarray, int, float]:
+    cb = _CountCB()
+    t0 = time.perf_counter()
+    x, _info = spla.cg(a, b, M=m_op, rtol=rtol, atol=0.0, maxiter=max_iter, callback=cb)
+    dt = time.perf_counter() - t0
+    return x, cb.n, dt
+
+
+def _as_op(n: int, matvec: Callable[[np.ndarray], np.ndarray]) -> spla.LinearOperator:
+    return spla.LinearOperator((n, n), matvec=matvec, dtype=np.float64)
+
+
+def make_preconditioner_op(
+    a: sp.csr_matrix,
+    method: str,
+    spai: Optional[sp.csr_matrix] = None,
+    epsilon: float = 0.0,
+    ainv_droptol: float = 0.1,
+) -> Tuple[Optional[spla.LinearOperator], float]:
+    """Build M^{-1} LinearOperator; returns (op, factorization seconds)."""
+    n = a.shape[0]
+    t0 = time.perf_counter()
+    method = method.lower()
+    if method == "none":
+        op = None
+    elif method in ("diagonal", "jacobi", "diag"):
+        d = a.diagonal().astype(np.float64)
+        op = _as_op(n, lambda x: x / d)
+    elif method in ("ic", "ic0", "ichol"):
+        from ..native import ic0
+
+        lfac = ic0(a)
+        lo = sp.csr_matrix(lfac)
+        up = sp.csr_matrix(lfac.T)
+
+        def ic_apply(x):
+            y = spla.spsolve_triangular(lo, x, lower=True)
+            return spla.spsolve_triangular(up, y, lower=False)
+
+        op = _as_op(n, ic_apply)
+    elif method == "ainv":
+        from ..native import ainv
+
+        z, p = ainv(a, droptol=ainv_droptol)
+        zt = sp.csr_matrix(z.T)
+        pinv = 1.0 / p
+        op = _as_op(n, lambda x: z @ (pinv * (zt @ x)))
+    elif method == "fsai":
+        from ..native import fsai
+
+        g = fsai(a)
+        gt = sp.csr_matrix(g.T)
+        op = _as_op(n, lambda x: gt @ (g @ x))
+    elif method == "ext_spai":
+        assert spai is not None
+        st = sp.csr_matrix(spai.T)
+        op = _as_op(n, lambda x: spai @ (st @ x) + epsilon * x)
+    elif method == "ext_spai_scaled":
+        assert spai is not None
+        st = sp.csr_matrix(spai.T)
+        dinv = 1.0 / a.diagonal().astype(np.float64)
+        op = _as_op(n, lambda x: spai @ (dinv * (st @ x)) + epsilon * (dinv * x))
+    elif method == "ichol_product":
+        # NeuralPCG-style triangular-solve apply with a *given* L
+        assert spai is not None
+        lo = sp.csr_matrix(spai)
+        up = sp.csr_matrix(spai.T)
+
+        def llt_solve(x):
+            y = spla.spsolve_triangular(lo, x, lower=True)
+            return spla.spsolve_triangular(up, y, lower=False)
+
+        op = _as_op(n, llt_solve)
+    else:
+        raise ValueError(f"unknown preconditioner method {method}")
+    return op, time.perf_counter() - t0
+
+
+def get_cg_iter_time(
+    a: sp.csr_matrix,
+    gt: np.ndarray,
+    rtol: float = 1e-6,
+    max_iter: int = 0,
+    repeat: int = 1,
+    method: str = "none",
+    raise_on_fail: bool = True,
+) -> Tuple[float, float, float]:
+    """CG with classical preconditioner; b = A@gt (validate.py:54-86).
+    Returns (avg iters, avg factorization s, avg solve s)."""
+    n = a.shape[0]
+    max_iter = max_iter if max_iter > 0 else n
+    a = sp.csr_matrix(a, dtype=np.float64)
+    b = (a @ gt).astype(np.float64)
+    iters = prec_t = solve_t = 0.0
+    for _ in range(repeat):
+        op, tp = make_preconditioner_op(a, method)
+        _, it, ts = _run_cg(a, b, op, rtol, max_iter)
+        if it >= max_iter and raise_on_fail:
+            raise RuntimeError(f"CG({method}) did not converge in {max_iter}")
+        iters += it
+        prec_t += tp
+        solve_t += ts
+    return iters / repeat, prec_t / repeat, solve_t / repeat
+
+
+def get_pcg_iter_time(
+    a: sp.csr_matrix,
+    gt: np.ndarray,
+    spai: sp.csr_matrix,
+    epsilon: float,
+    rtol: float = 1e-6,
+    max_iter: int = 0,
+    repeat: int = 1,
+    scaled: bool = False,
+) -> Tuple[float, float, float]:
+    """Neural SPAI CG (validate.py:89-160, ext_spai / ext_spai_scaled)."""
+    n = a.shape[0]
+    max_iter = max_iter if max_iter > 0 else n
+    a = sp.csr_matrix(a, dtype=np.float64)
+    spai = sp.csr_matrix(spai, dtype=np.float64)
+    b = (a @ gt).astype(np.float64)
+    method = "ext_spai_scaled" if scaled else "ext_spai"
+    iters = prec_t = solve_t = 0.0
+    for _ in range(repeat):
+        op, tp = make_preconditioner_op(a, method, spai=spai, epsilon=epsilon)
+        _, it, ts = _run_cg(a, b, op, rtol, max_iter)
+        iters += it
+        prec_t += tp
+        solve_t += ts
+    return iters / repeat, prec_t / repeat, solve_t / repeat
+
+
+def get_pcg_ichol_iter_time(
+    a: sp.csr_matrix,
+    lfac: sp.csr_matrix,
+    gt: np.ndarray,
+    rtol: float = 1e-6,
+    max_iter: int = 0,
+) -> Tuple[float, float]:
+    """Triangular-solve IC apply with a given L (NeuralPCG validation,
+    validate.py:344-419). Returns (iters, solve seconds)."""
+    n = a.shape[0]
+    max_iter = max_iter if max_iter > 0 else n
+    a = sp.csr_matrix(a, dtype=np.float64)
+    b = (a @ gt).astype(np.float64)
+    op, _ = make_preconditioner_op(a, "ichol_product", spai=lfac)
+    _, it, ts = _run_cg(a, b, op, rtol, max_iter)
+    return it, ts
+
+
+def get_cg_stats(
+    a: sp.csr_matrix,
+    gt: np.ndarray,
+    methods=("none", "diagonal", "ic"),
+    rtol: float = 1e-6,
+    max_iter: int = 0,
+    prefix: str = "",
+) -> Dict[str, float]:
+    """Bundle of iteration counts (~ get_pcg_stat_scipy, validate.py:304)."""
+    out = {}
+    for m in methods:
+        try:
+            it, tp, ts = get_cg_iter_time(
+                a, gt, rtol=rtol, max_iter=max_iter, method=m, raise_on_fail=False
+            )
+            out[f"{prefix}cpu_{m}_iter"] = it
+            out[f"{prefix}cpu_{m}_solve"] = ts
+        except Exception:
+            out[f"{prefix}cpu_{m}_iter"] = float("nan")
+    return out
+
+
+def direct_solve_time(a: sp.csr_matrix, b: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Sparse direct (Cholesky-like via splu) timing baseline
+    (~ cholmod path, infer.py:351-360)."""
+    t0 = time.perf_counter()
+    lu = spla.splu(sp.csc_matrix(a, dtype=np.float64))
+    x = lu.solve(b)
+    return x, time.perf_counter() - t0

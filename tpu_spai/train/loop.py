@@ -1,0 +1,311 @@
+"""Functional train/val/test loop (the Lightning Trainer equivalent).
+
+Mirrors the reference's training behavior (train.py + workspace.py):
+  * epochs over shuffled batches (batch_size from config, default 4),
+  * AdamW + per-epoch exponential LR decay + global-norm grad clip,
+  * validation every `check_val_every_n_epoch` epochs: loss + convergence
+    oracles on the first val batch (CG iteration counts for the neural
+    preconditioner vs classical baselines — workspace.py:108-170),
+  * test pass at the end: convergence on every val sample + timed
+    preconditioner construction (workspace.py:188-205),
+  * orbax checkpoints every `checkpoint.every_n_epochs`,
+  * JSONL metrics with the reference's metric names (Train/Loss,
+    Val/cpu_<method>_iter, ...).
+
+TPU-specific: batches are bucket-padded so the jitted train step compiles
+once per bucket; the convergence oracle runs the *device* PCG for the
+neural preconditioner and host scipy CG for classical baselines.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import GraphBatch, collate
+from ..logging_utils import MetricLogger, get_logger
+from ..sparse.convert import graph_to_csr
+from .checkpoints import save_checkpoint
+from .optim import create_optimizer
+
+log = get_logger()
+
+
+def _make_batches(indices: Sequence[int], batch_size: int, rng: np.random.Generator):
+    idx = np.array(indices)
+    rng.shuffle(idx)
+    return [idx[i : i + batch_size] for i in range(0, len(idx), batch_size)]
+
+
+def _bucket_sizes(dataset, indices, batch_size) -> Dict[str, int]:
+    """Upper-bound node/edge counts for any batch, for stable padding."""
+    ns, es = [], []
+    probe = indices[: min(len(indices), 64)]
+    for i in probe:
+        s = dataset.get(i)
+        ns.append(s.num_nodes)
+        es.append(s.edge_index.shape[1])
+    n_max = max(ns) * batch_size
+    e_max = max(es) * batch_size
+    from ..data.batching import _bucket
+
+    return {"node_bucket": _bucket(n_max), "edge_bucket": _bucket(e_max)}
+
+
+def check_convergence(
+    workspace,
+    params,
+    batch: GraphBatch,
+    check_methods: Sequence[str],
+    epsilon: float,
+    rtol: float = 1e-6,
+    max_iter: int = 0,
+    prefix: str = "Val",
+) -> Dict[str, float]:
+    """Convergence oracle on a (single-sample) batch — the de-facto
+    correctness metric of the whole project (workspace.py:114-170).
+
+    Classical baselines run host scipy CG; the neural preconditioner runs
+    BOTH the host CG (`cpu_neural_iter`, comparable with baselines) and the
+    device PCG (`tpu_neural_iter`) to confirm parity.
+    """
+    from ..solver.host_baselines import get_cg_iter_time, get_pcg_iter_time
+    from ..solver import pcg, spai_prec
+    from ..sparse.convert import csr_to_graph
+
+    n_valid = int(np.sum(np.asarray(batch.node_valid)))
+    b = batch.block_size
+    n = n_valid * b
+    ei = np.stack(
+        [np.asarray(batch.graph.edge_row), np.asarray(batch.graph.edge_col)]
+    )
+    e_valid = int(np.sum(np.asarray(batch.edge_seg) == 0))
+    a_csr = graph_to_csr(
+        ei[:, :e_valid],
+        np.asarray(batch.graph.blocks)[:e_valid],
+        n,
+        mask=np.asarray(batch.mask)[:n_valid],
+    )
+    l_csr = workspace.factor_csr(params, batch, n_valid_edges=e_valid)[:n, :n]
+    r = np.asarray(batch.mask)[:n_valid].ravel().astype(np.float64)
+    max_iter = max_iter if max_iter > 0 else n
+
+    stats: Dict[str, float] = {}
+    for method in check_methods:
+        try:
+            it, _tp, ts = get_cg_iter_time(
+                a_csr, r, rtol=rtol, max_iter=max_iter, method=method,
+                raise_on_fail=False,
+            )
+            stats[f"{prefix}/cpu_{method}_iter"] = it
+            stats[f"{prefix}/cpu_{method}_solve"] = ts
+        except Exception as e:  # noqa: BLE001 - keep training alive
+            log.warning(f"convergence check {method} failed: {e}")
+    kind = workspace.solver_prec_kind()
+    if kind == "spai":
+        it, _tp, ts = get_pcg_iter_time(
+            a_csr, r, l_csr, epsilon, rtol=rtol, max_iter=max_iter
+        )
+        stats[f"{prefix}/cpu_neural_iter"] = it
+        stats[f"{prefix}/cpu_neural_solve"] = ts
+        # device-side PCG with the same factor
+        ga = csr_to_graph(a_csr)
+        gl = csr_to_graph(l_csr)
+        res = pcg(
+            ga,
+            jnp.asarray(a_csr @ r),
+            prec=spai_prec(gl, epsilon),
+            rtol=rtol,
+            max_iter=max_iter,
+        )
+        stats[f"{prefix}/tpu_neural_iter"] = float(res.iters)
+    else:  # triangular-solve validation (NeuralPCG/NIF, nif.py:106-131)
+        from ..solver.host_baselines import get_pcg_ichol_iter_time
+        import scipy.sparse as sp
+
+        l_lo = sp.tril(l_csr, format="csr")
+        # guard zero diagonals before triangular solve
+        dia = l_lo.diagonal()
+        if np.any(dia == 0):
+            l_lo = sp.csr_matrix(l_lo + sp.diags((dia == 0) * 1.0))
+        try:
+            it, ts = get_pcg_ichol_iter_time(
+                a_csr, l_lo, r, rtol=rtol, max_iter=max_iter
+            )
+            stats[f"{prefix}/cpu_neural_iter"] = it
+            stats[f"{prefix}/cpu_neural_solve"] = ts
+        except Exception as e:  # noqa: BLE001
+            log.warning(f"neural ichol check failed: {e}")
+    return stats
+
+
+def timed_inference(workspace, params, batch: GraphBatch, repeat: int = 1):
+    """Preconditioner-construction timing (~ inference_step,
+    workspace.py:195-205): time the jitted GNN forward on device, then the
+    host CSR conversion separately."""
+    fwd = jax.jit(workspace.predict_blocks)
+    blocks = fwd(params, batch)  # compile outside the timed region
+    blocks.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(repeat):
+        blocks = fwd(params, batch)
+        blocks.block_until_ready()
+    dt_gnn = (time.perf_counter() - t0) / repeat
+    e_valid = int(np.sum(np.asarray(batch.edge_seg) == 0))
+    csr = workspace.factor_csr(params, batch, n_valid_edges=e_valid)
+    return csr, dt_gnn
+
+
+def fit(
+    workspace,
+    dataset,
+    cfg,
+    out_dir: Optional[str] = None,
+    seed: int = 42,
+):
+    """Train `workspace` on `dataset` per config `cfg`; returns params."""
+    from ..data.folder import split_dataset
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.key(seed)
+    out = Path(out_dir or cfg.select("output_dir", "outputs/run"))
+    out.mkdir(parents=True, exist_ok=True)
+    metrics = MetricLogger(out, "train")
+
+    train_idx, val_idx = split_dataset(len(dataset), cfg.split["train"], seed=42)
+    batch_size = int(cfg.batch_size)
+    buckets = _bucket_sizes(dataset, list(range(len(dataset))), batch_size)
+    log.info(f"buckets: {buckets}; train={len(train_idx)} val={len(val_idx)}")
+
+    def get_batch(ids) -> GraphBatch:
+        return collate([dataset.get(i) for i in ids], **buckets)
+
+    example = get_batch(train_idx[:batch_size])
+    params = workspace.init_params(key, example)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    log.info(f"model parameters: {n_params}")
+
+    tcfg = cfg.trainer
+    max_epochs = int(tcfg["max_epochs"])
+    steps_per_epoch = max(1, len(train_idx) // batch_size)
+    tx = create_optimizer(
+        cfg.optimizer["name"],
+        dict(cfg.optimizer.get("params") or {}),
+        cfg.scheduler["name"],
+        dict(cfg.scheduler.get("params") or {}),
+        steps_per_epoch=steps_per_epoch,
+        max_epochs=max_epochs,
+        gradient_clip_val=tcfg.get("gradient_clip_val"),
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(workspace.loss, has_aux=True)(
+            params, batch
+        )
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss, aux, gnorm
+
+    @jax.jit
+    def eval_loss(params, batch):
+        loss, _ = workspace.loss(params, batch)
+        return loss
+
+    check_every = int(tcfg.get("check_val_every_n_epoch", 5))
+    ckpt_every = int(cfg.select("checkpoint.every_n_epochs", 1))
+    fast_dev = bool(tcfg.get("fast_dev_run", False))
+    if fast_dev:
+        max_epochs = 1
+
+    step = 0
+    for epoch in range(max_epochs):
+        t_ep = time.time()
+        ep_losses = []
+        for ids in _make_batches(train_idx, batch_size, rng):
+            batch = get_batch(ids)
+            params, opt_state, loss, aux, gnorm = train_step(
+                params, opt_state, batch
+            )
+            step += 1
+            ep_losses.append(float(loss))
+            if step % 100 == 0:
+                metrics.log(
+                    {
+                        "Train/Loss": float(loss),
+                        "Train/total_grad_norm": float(gnorm),
+                        "Train/factor_norm": float(aux["factor_norm"]),
+                    },
+                    step=step,
+                    epoch=epoch,
+                )
+            if fast_dev:
+                break
+        mean_loss = float(np.mean(ep_losses))
+        metrics.log({"Train/EpochLoss": mean_loss}, step=step, epoch=epoch)
+        log.info(
+            f"epoch {epoch}: loss={mean_loss:.4e} ({time.time()-t_ep:.1f}s)"
+        )
+
+        if (epoch + 1) % check_every == 0 or epoch == max_epochs - 1:
+            vlosses = []
+            for k, vi in enumerate(val_idx):
+                vb = collate([dataset.get(vi)])
+                vlosses.append(float(eval_loss(params, vb)))
+                if k == 0 and bool(cfg.select("check_converge", True)):
+                    stats = check_convergence(
+                        workspace,
+                        params,
+                        vb,
+                        cfg.select("check_methods", ["none", "diagonal"]),
+                        epsilon=float(cfg.epsilon),
+                        max_iter=int(cfg.select("test_max_iter", 1000)),
+                    )
+                    metrics.log(stats, step=step, epoch=epoch)
+                    log.info(
+                        "val convergence: "
+                        + ", ".join(f"{k.split('/')[-1]}={v:.1f}"
+                                    for k, v in stats.items() if "iter" in k)
+                    )
+                if fast_dev:
+                    break
+            metrics.log(
+                {"Val/Loss": float(np.mean(vlosses))}, step=step, epoch=epoch
+            )
+
+        if (epoch + 1) % ckpt_every == 0 or epoch == max_epochs - 1:
+            save_checkpoint(out / "checkpoints", epoch, params, cfg)
+
+    metrics.close()
+    return params
+
+
+def evaluate(workspace, dataset, params, cfg, indices=None, prefix="Test"):
+    """Test pass: convergence + timed inference on every sample
+    (~ trainer.test, workspace.py:188-205)."""
+    out: List[Dict[str, float]] = []
+    indices = indices if indices is not None else range(len(dataset))
+    for i in indices:
+        batch = collate([dataset.get(i)])
+        stats = check_convergence(
+            workspace,
+            params,
+            batch,
+            cfg.select("check_methods", ["none", "diagonal"]),
+            epsilon=float(cfg.epsilon),
+            max_iter=int(cfg.select("test_max_iter", 1000)),
+            prefix=prefix,
+        )
+        _, dt = timed_inference(workspace, params, batch)
+        stats[f"{prefix}/time_neural_prec"] = dt
+        out.append(stats)
+    return out
