@@ -77,16 +77,18 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=jnp.float32)
     x2 = x.reshape(-1, 1)
 
-    spmv_j = jax.jit(lambda v: spmv(g32, v))
-    t_spmv = median_time(lambda: spmv_j(x2))
+    # NOTE: the graph must be a jit *argument* — closing over device arrays
+    # embeds them as HLO constants (enormous programs, re-uploaded per call)
+    spmv_j = jax.jit(spmv)
+    t_spmv = median_time(lambda: spmv_j(g32, x2))
     min_bytes = nnz * 12 + n * 4
     gbps = min_bytes / t_spmv / 1e9
     frac = gbps / bw
     log(f"SpMV: {t_spmv*1e6:.1f} us, {nnz/t_spmv/1e9:.2f} Gnnz/s, "
         f"{gbps:.1f} GB/s effective ({100*frac:.1f}% roofline)")
 
-    spai_j = jax.jit(lambda v: spai_apply(g32, v, 3e-3))
-    t_spai = median_time(lambda: spai_j(x2))
+    spai_j = jax.jit(lambda g, v: spai_apply(g, v, 3e-3))
+    t_spai = median_time(lambda: spai_j(g32, x2))
     spai_bytes = 2 * nnz * 12 + 3 * n * 4
     spai_gbps = spai_bytes / t_spai / 1e9
     log(f"SPAI apply: {t_spai*1e6:.1f} us, {spai_gbps:.1f} GB/s "
@@ -94,13 +96,14 @@ def main():
 
     # full mixed-precision CG solve (fp32 storage + fp64 dots)
     b = jnp.asarray(a @ np.ones(n), dtype=jnp.float32)
+    prec = jacobi_prec(g32)
     solve = jax.jit(
-        lambda bb: pcg(g32, bb, prec=jacobi_prec(g32), rtol=1e-6,
-                       max_iter=2000, dot_dtype=jnp.float64)
+        lambda g, bb, pr: pcg(g, bb, prec=pr, rtol=1e-6,
+                              max_iter=20000, dot_dtype=jnp.float64)
     )
-    res = solve(b)
+    res = solve(g32, b, prec)
     iters = int(res.iters)
-    t_solve = median_time(lambda: solve(b), warmup=1, iters=5)
+    t_solve = median_time(lambda: solve(g32, b, prec), warmup=1, iters=5)
     log(f"PCG(jacobi) solve: {iters} iters in {t_solve*1e3:.2f} ms "
         f"({iters/t_solve:.0f} iter/s, converged={bool(res.converged)})")
 

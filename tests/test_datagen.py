@@ -1,0 +1,132 @@
+"""Datagen family tests: folder contract round-trips, SPD-ness, FEM oracle."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from tpu_spai.data.folder import FolderDataset
+from tpu_spai.datagen.heat import HeatDatagen, MultimeshHeatDatagen
+from tpu_spai.datagen.poisson import PoissonDatagen, MultimeshPoissonDatagen
+
+
+def _is_spd(a, strict_tol=1e-10):
+    w = np.linalg.eigvalsh(a.toarray())
+    return w.min() > -strict_tol * abs(w.max())
+
+
+def test_heat_fixed_topology(tmp_path):
+    p = tmp_path / "heat"
+    HeatDatagen(prefix=str(p), mesh="box:4", max_count=3, seed=1).generate()
+    ds = FolderDataset(
+        prefix=str(p), is_fixed_topology=True, block_size=1,
+        has_shared_features=True, use_node_features=True,
+    )
+    assert len(ds) == 3
+    s = ds.get(0)
+    # features: field(1) + shared pos(3) + mask(1) = 5
+    assert s.x.shape[1] == 5
+    a = _mat(s)
+    assert _is_spd(a)
+
+
+def _mat(s):
+    from tpu_spai.sparse import graph_to_csr
+
+    return graph_to_csr(
+        s.edge_index, s.matrix_values / s.matrix_scale,
+        s.num_nodes * s.block_size, mask=s.mask,
+    )
+
+
+def test_heat_multimesh_variable_topology(tmp_path):
+    p = tmp_path / "heat_mm"
+    MultimeshHeatDatagen(
+        prefix=str(p), max_count=4, res_range=(3, 6), seed=2
+    ).generate()
+    ds = FolderDataset(
+        prefix=str(p), is_fixed_topology=False, block_size=1,
+        has_shared_features=False, use_node_features=True,
+    )
+    shapes = {ds.get(i).num_nodes for i in range(4)}
+    assert len(shapes) >= 2  # topologies actually vary
+    assert _is_spd(_mat(ds.get(0)))
+
+
+def test_heat_high_contrast(tmp_path):
+    p = tmp_path / "heat_hc"
+    MultimeshHeatDatagen(
+        prefix=str(p), max_count=2, res_range=(3, 3), high_contrast=True, seed=2
+    ).generate()
+    ds = FolderDataset(prefix=str(p), is_fixed_topology=False,
+                       has_shared_features=False, use_node_features=True)
+    feats = ds.get(0).x[:, 0]
+    assert len(np.unique(np.round(feats, 10))) <= 2  # piecewise constant
+
+
+def test_poisson_2d_masked_spd(tmp_path):
+    p = tmp_path / "poisson"
+    PoissonDatagen(prefix=str(p), mesh="grid:8", max_count=3, seed=4).generate()
+    ds = FolderDataset(
+        prefix=str(p), is_fixed_topology=True, block_size=1,
+        has_shared_features=True, use_node_features=False,
+    )
+    s = ds.get(0)
+    assert (s.mask == 0).any()  # some Dirichlet rows
+    assert _is_spd(_mat(s))
+
+
+def test_poisson_3d(tmp_path):
+    p = tmp_path / "poisson3d"
+    MultimeshPoissonDatagen(
+        prefix=str(p), max_count=2, res_range=(3, 4), seed_count=4,
+        grow_iteration=1, seed=5,
+    ).generate()
+    ds = FolderDataset(prefix=str(p), is_fixed_topology=False,
+                       has_shared_features=False, use_node_features=True)
+    s = ds.get(0)
+    assert (s.mask == 0).any()
+    assert _is_spd(_mat(s))
+
+
+@pytest.mark.slow
+def test_elasticity_twist(tmp_path):
+    from tpu_spai.datagen.elasticity import TwistDatagen
+
+    p = tmp_path / "twist"
+    TwistDatagen(
+        prefix=str(p), nx=2, resolution=3, max_count=2, time_step=0.02,
+    ).generate()
+    ds = FolderDataset(
+        prefix=str(p), is_fixed_topology=True, block_size=3,
+        has_shared_features=True, use_node_features=True,
+    )
+    s = ds.get(0)
+    assert s.block_size == 3
+    assert s.matrix_values.shape[1:] == (3, 3)
+    a = _mat(s)
+    assert _is_spd(a, strict_tol=1e-8)
+    # rhs column exists (forces written)
+    assert s.residual.shape == (s.num_nodes, 3)
+
+
+def test_elasticity_stepper_physics():
+    """A free-hanging beam under gravity must sag (negative z drift), and
+    the Newton stepper must reduce the incremental-potential residual."""
+    from tpu_spai.datagen.elasticity import TetFEM, unit_box
+
+    vert, elem = unit_box(6, 3, 3)
+    vert = vert.copy()
+    vert[:, 1] -= 0.5
+    vert[:, 2] -= 0.5
+    fem = TetFEM(vert, elem, time_step=0.02, young_modulus=1e5)
+    fem.add_gravity(np.array([0, 0, -9.8]))
+    left = np.where(vert[:, 0] == vert[:, 0].min())[0]
+    fem.mark_dirichlet_batched(left, np.zeros((len(left), 3)))
+    fem.reset()
+    for _ in range(3):
+        fem.step()
+    tip = np.where(vert[:, 0] == vert[:, 0].max())[0]
+    assert fem.deformation()[tip, 2].mean() < -1e-5  # sagged
+    # fixed face stayed put
+    np.testing.assert_allclose(fem.deformation()[left], 0, atol=1e-12)

@@ -93,11 +93,11 @@ def test_build_ell_covers_all_edges(rng):
     a = _rand_csr(rng, n=25)
     coo = a.tocoo()
     ell = build_ell(coo.row, coo.col, 25)
-    em = np.asarray(ell.ell_mask).astype(bool)
+    em = np.asarray(ell.ell_mask).astype(bool)  # [K, N]
     edges = np.asarray(ell.ell_edge)[em]
     assert sorted(edges.tolist()) == list(range(coo.nnz))
-    # each edge sits in its own row
-    rows_of_slot = np.nonzero(em)[0]
+    # each edge sits in its own row (node axis is minor in the [K, N] planes)
+    rows_of_slot = np.nonzero(em)[1]
     np.testing.assert_array_equal(coo.row[edges], rows_of_slot)
     np.testing.assert_array_equal(coo.col[edges], np.asarray(ell.ell_col)[em])
 

@@ -1,0 +1,208 @@
+"""Benchmark/inference entry point (~ reference infer.py).
+
+Loads a trained checkpoint, then per test sample:
+  * times preconditioner construction (jitted GNN forward on device),
+  * runs CG under classical preconditioners {none, diagonal, ainv, ic,
+    fsai} on the host (fp64 scipy + native factorizations) and on the TPU
+    (device PCG) — the reference's cpu/cuda axis maps to cpu/tpu here,
+  * runs the neural SPAI CG on host ("Neural") and device ("Neural+TPU"),
+  * optional direct-solve baseline (enable_cholmod -> scipy splu),
+and writes the two CSV schemas the reference's misc/ scripts consume
+(infer_{prefix}{exp}_{-log10 rtol}.csv and all_infer_...).
+
+Usage:
+    python -m tpu_spai.cli.infer exp_name=heat data.prefix=generated/heat \
+        pretrained=outputs/heat/checkpoints [rtol=1e-8] [rhs=mask|random|neighbour]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tpu_spai  # noqa: F401
+from ..bench import Timestat
+from ..config import cli_config
+from ..data.batching import collate
+from ..logging_utils import get_logger
+from ..solver import pcg, spai_prec, spai_scaled_prec
+from ..solver.host_baselines import get_cg_iter_time, get_pcg_iter_time, direct_solve_time
+from ..sparse.convert import csr_to_graph, graph_to_csr
+from ..train import get_workspace
+from ..train.checkpoints import latest_checkpoint, load_checkpoint
+from .train import CONFIG_DIR, build_dataset
+
+log = get_logger()
+
+
+def build_rhs(kind: str, mask: np.ndarray, a_pattern, rng) -> np.ndarray:
+    """RHS conventions (infer.py:296-307)."""
+    m = mask.ravel().astype(np.float64)
+    if kind in ("mask", "ones"):
+        return m
+    if kind == "random":
+        return rng.standard_normal(len(m)) * m
+    if kind == "neighbour":
+        return (a_pattern @ (1 - m) + 0.1 * m) * m
+    raise ValueError(f"Unknown rhs type: {kind}")
+
+
+def main(argv=None):
+    cfg = cli_config(argv if argv is not None else sys.argv[1:], CONFIG_DIR, "basic")
+    dataset = build_dataset(cfg)
+    ws_cls = get_workspace(cfg.select("workspace", "simple"))
+    workspace = ws_cls(
+        gnn=cfg.gnn,
+        loss=cfg.loss,
+        block_size=dataset.block_size,
+        epsilon=float(cfg.epsilon),
+    )
+    scaled = workspace.name == "scaled"
+
+    rtol = float(cfg.select("rtol", 1e-6))
+    repeat = int(cfg.select("repeat", 1))
+    rhs_kind = cfg.select("rhs", "mask")
+    enable_cholmod = bool(cfg.select("enable_cholmod", False))
+    out_dir = Path(cfg.select("out_dir", "output"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(int(cfg.select("seed", 42)))
+
+    # restore params
+    from ..data.folder import split_dataset
+
+    tr, va = split_dataset(len(dataset), cfg.split["train"], seed=42)
+    example = collate([dataset.get(va[0])])
+    params = workspace.init_params(jax.random.key(0), example)
+    pretrained = cfg.select("pretrained", "")
+    if pretrained:
+        ckpt = Path(pretrained)
+        if ckpt.is_dir() and (ckpt / "latest.json").exists():
+            ckpt = latest_checkpoint(ckpt)
+        params = load_checkpoint(ckpt, params)
+        log.info(f"Loaded pretrained model from {ckpt}")
+    else:
+        log.warning("no pretrained checkpoint given — benchmarking a random model")
+
+    fwd = jax.jit(workspace.predict_blocks)
+    # warmup (infer.py:271-275)
+    for _ in range(int(cfg.select("warmup", 3))):
+        fwd(params, example).block_until_ready()
+
+    stats = Timestat()
+    indices = va if cfg.select("dataloader", "test") in ("val", "test") else tr
+    max_samples = int(cfg.select("max_samples", 0)) or len(indices)
+    check_methods = [m for m in cfg.select("check_methods", ["none", "diagonal", "ainv", "ic"]) if m != "fsai"] + (
+        ["fsai"] if "fsai" in cfg.select("check_methods", []) else []
+    )
+
+    try:
+        for count, i in enumerate(indices[:max_samples]):
+            batch = collate([dataset.get(i)])
+            n_valid = int(np.sum(np.asarray(batch.node_valid)))
+            msize = n_valid * batch.block_size
+            e_valid = int(np.sum(np.asarray(batch.edge_seg) == 0))
+            ei = np.stack(
+                [np.asarray(batch.graph.edge_row), np.asarray(batch.graph.edge_col)]
+            )
+            a_csr = graph_to_csr(
+                ei[:, :e_valid],
+                np.asarray(batch.graph.blocks)[:e_valid],
+                msize,
+                mask=np.asarray(batch.mask)[:n_valid],
+            )
+            a_ones = a_csr.copy()
+            a_ones.data.fill(1.0)
+
+            # preconditioner-construction time: device GNN forward
+            prec_t = 0.0
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                fwd(params, batch).block_until_ready()
+                prec_t += time.perf_counter() - t0
+            prec_t /= repeat
+            l_csr = workspace.factor_csr(params, batch, n_valid_edges=e_valid)[
+                :msize, :msize
+            ]
+
+            r = build_rhs(rhs_kind, np.asarray(batch.mask)[:n_valid], a_ones, rng)
+
+            # classical baselines: host fp64 + device
+            for method in check_methods:
+                try:
+                    it, p, s = get_cg_iter_time(
+                        a_csr, r, rtol=rtol, repeat=repeat, method=method,
+                        raise_on_fail=False,
+                    )
+                    stats.put(f"PCG-{method}-cpu", s, p, it, msize)
+                except Exception as e:  # noqa: BLE001
+                    log.error(f"{method} failed: {e}")
+            # device unpreconditioned + jacobi (the SpMV-only methods)
+            ga = csr_to_graph(a_csr)
+            b_dev = jnp.asarray(a_csr @ r)
+            for method in ("none", "diagonal"):
+                if method not in check_methods:
+                    continue
+                from ..solver import jacobi_prec
+
+                pr = None if method == "none" else jacobi_prec(ga)
+                res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
+                res.x.block_until_ready()
+                t0 = time.perf_counter()
+                for _ in range(repeat):
+                    res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
+                    res.x.block_until_ready()
+                dt = (time.perf_counter() - t0) / repeat
+                stats.put(f"PCG-{method}-tpu", dt, 0.0, float(res.iters), msize)
+
+            # neural SPAI: host + device
+            it, _, sol = get_pcg_iter_time(
+                a_csr, r, l_csr, workspace.epsilon, rtol=rtol, repeat=repeat,
+                scaled=scaled,
+            )
+            stats.put("Neural", sol, prec_t, it, msize)
+
+            gl = csr_to_graph(l_csr)
+            if scaled:
+                inv_d = jnp.asarray(
+                    (1.0 / a_csr.diagonal()).reshape(ga.n_nodes, ga.block_size)
+                )
+                pr = spai_scaled_prec(gl, workspace.epsilon, inv_d)
+            else:
+                pr = spai_prec(gl, workspace.epsilon)
+            res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
+            res.x.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(repeat):
+                res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
+                res.x.block_until_ready()
+            dt = (time.perf_counter() - t0) / repeat
+            stats.put("Neural+TPU", dt, prec_t, float(res.iters), msize)
+
+            if enable_cholmod:
+                t0 = time.perf_counter()
+                _, solve_t = direct_solve_time(a_csr, a_csr @ r)
+                stats.put("Cholmod", solve_t, time.perf_counter() - t0 - solve_t, 1, msize)
+    except KeyboardInterrupt:
+        log.info("KeyboardInterrupt, stop testing.")
+
+    stats.print(log.info)
+    log_rtol = -int(math.log10(rtol))
+    prefix = cfg.select("infer_prefix", "")
+    exp_name = cfg.exp_name
+    fname = out_dir / f"infer_{prefix}{exp_name}_{log_rtol}.csv"
+    stats.timestat_to_dataframe().to_csv(fname, index=False)
+    log.info(f"Inference statistics saved to {fname}")
+    all_fname = out_dir / f"all_infer_{prefix}{exp_name}_{log_rtol}.csv"
+    stats.all_time_stat().to_csv(all_fname, index=False)
+    log.info(f"All inference statistics saved to {all_fname}")
+    return stats
+
+
+if __name__ == "__main__":
+    main()

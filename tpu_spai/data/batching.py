@@ -126,7 +126,9 @@ def collate(
         block_size=b,
     )
     if with_ell:
-        graph = attach_ell(graph, n_valid=e_total, width=ell_width)
+        # freeze A's ELL value planes (reused by every loss-side spmv);
+        # the GNN factor goes through with_blocks() which drops them
+        graph = attach_ell(graph, n_valid=e_total, width=ell_width, freeze=True)
 
     def opt(namefn):
         vals = [namefn(s) for s in samples]

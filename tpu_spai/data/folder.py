@@ -121,10 +121,13 @@ class FolderDataset:
 
         # feature-count bookkeeping (data.py:412-432)
         self.num_node_features = 0
-        if self.use_node_features and self.feature_files:
-            self.num_node_features = np.load(self.feature_files[0]).shape[1]
-        if self.shared_features is not None:
-            self.num_node_features += self.shared_features.shape[1]
+        if self.use_node_features:
+            if self.feature_files:
+                self.num_node_features = np.load(self.feature_files[0]).shape[1]
+            if self.shared_features is not None:
+                # shared features only count when node features are enabled
+                # (data.py:415-419)
+                self.num_node_features += self.shared_features.shape[1]
         if use_mask_as_node_feature:
             self.num_node_features += block_size
         self.num_edge_features = 0

@@ -47,11 +47,15 @@ def _halo_exchange(x_l: jax.Array, halo: int, axis: str = AXIS) -> jax.Array:
 
 
 def _local_spmv(sys_l, x_ext: jax.Array) -> jax.Array:
-    """Scatter-free ELL block SpMV on one shard's extended vector."""
-    be = sys_l.blocks[sys_l.ell_edge]  # [chunk, K, b, b]
-    xg = x_ext[sys_l.ell_col]  # [chunk, K, b]
-    prod = jnp.einsum("nkbc,nkc->nkb", be, xg)
-    return jnp.einsum("nkb,nk->nb", prod, sys_l.ell_mask.astype(prod.dtype))
+    """Scatter-free ELL block SpMV on one shard's extended vector.
+
+    [K, chunk]-layout with frozen masked value planes (see
+    tpu_spai/sparse/bcoo.py layout rationale): x_ext [halo+chunk+halo, b].
+    """
+    xt = x_ext.T  # [b, ext]
+    xg = xt[:, sys_l.ell_col]  # [b, K, chunk]
+    yt = jnp.einsum("pqkn,qkn->pn", sys_l.ell_vals, xg)
+    return yt.T  # [chunk, b]
 
 
 def shard_spmv(sys_l: PartitionedSystem, x_l: jax.Array, axis: str = AXIS) -> jax.Array:

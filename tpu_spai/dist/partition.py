@@ -39,10 +39,11 @@ class PartitionedSystem:
     ``halo + chunk + halo``.
     """
 
-    blocks: jax.Array  # [P, E_loc, b, b] (zero-padded)
-    ell_edge: jax.Array  # int32 [P, chunk, K] -> local edge id (E_loc = pad slot last)
-    ell_col: jax.Array  # int32 [P, chunk, K] -> extended-vector index
-    ell_mask: jax.Array  # [P, chunk, K]
+    # TPU layout: node dim minor ([K, chunk] planes), block components
+    # leading; values frozen in ELL order (solver-side matrices are static
+    # across CG iterations).
+    ell_vals: jax.Array  # [P, b, b, K, chunk] masked values
+    ell_col: jax.Array  # int32 [P, K, chunk] -> extended-vector index
     diag: jax.Array  # [P, chunk, b] diagonal (for jacobi / scaled SPAI)
     row_valid: jax.Array  # [P, chunk] 1/0 (padding rows at the global end)
     n_shards: int = _static(default=1)
@@ -116,7 +117,6 @@ def partition_system(
     shard_of = brow // chunk
     local_row = brow % chunk
 
-    blocks_l, ell_edge_l, ell_col_l, ell_mask_l, diag_l, rv_l = [], [], [], [], [], []
     k_max = 1
     per_shard = []
     for s in range(n_shards):
@@ -133,22 +133,18 @@ def partition_system(
         k_max = max(k_max, int(counts.max()) if len(r) else 1)
         per_shard.append((r, ce, v, counts, start))
 
+    vals_l, ell_col_l, diag_l, rv_l = [], [], [], []
+    gdiag = ap.tocsr().diagonal()
     for r, ce, v, counts, start in per_shard:
         e_loc = len(r)
         order = np.argsort(r, kind="stable")
         slot = np.arange(e_loc) - np.concatenate(([0], np.cumsum(counts)))[r[order]]
-        ee = np.zeros((chunk, k_max), dtype=np.int32)
-        ec = np.zeros((chunk, k_max), dtype=np.int32)
-        em = np.zeros((chunk, k_max), dtype=dtype)
-        ee[r[order], slot] = order
-        ec[r[order], slot] = ce[order]
-        em[r[order], slot] = 1
-        blocks_l.append(v)
-        ell_edge_l.append(ee)
+        ec = np.zeros((k_max, chunk), dtype=np.int32)
+        ev = np.zeros((b, b, k_max, chunk), dtype=dtype)
+        ec[slot, r[order]] = ce[order]
+        ev[:, :, slot, r[order]] = v[order].transpose(1, 2, 0)
+        vals_l.append(ev)
         ell_col_l.append(ec)
-        ell_mask_l.append(em)
-        # diagonal of this shard (global rows start..start+chunk)
-        gdiag = ap.tocsr().diagonal()
         d = np.zeros((chunk, b), dtype=dtype)
         lo, hi = start * b, min((start + chunk) * b, n_dofs)
         d.reshape(-1)[: hi - lo] = gdiag[lo:hi]
@@ -157,17 +153,10 @@ def partition_system(
         rv[: max(0, min(chunk, nb - start))] = 1
         rv_l.append(rv)
 
-    e_max = max(len(x) for x in blocks_l)
-    blocks_arr = np.zeros((n_shards, e_max + 1, b, b), dtype=dtype)
-    for s, v in enumerate(blocks_l):
-        blocks_arr[s, : len(v)] = v
-
     return (
         PartitionedSystem(
-            blocks=jnp.asarray(blocks_arr),
-            ell_edge=jnp.asarray(np.stack(ell_edge_l)),
+            ell_vals=jnp.asarray(np.stack(vals_l)),
             ell_col=jnp.asarray(np.stack(ell_col_l)),
-            ell_mask=jnp.asarray(np.stack(ell_mask_l)),
             diag=jnp.asarray(np.stack(diag_l)),
             row_valid=jnp.asarray(np.stack(rv_l)),
             n_shards=n_shards,

@@ -1,4 +1,4 @@
-"""Pure-XLA block SpMV / SPAI kernels (gather + einsum + segment-sum).
+"""Pure-XLA block SpMV / SPAI kernels (layout-tuned gather formulations).
 
 Semantics parity with the reference's message-passing ops
 (neural_cg/nn/basic_layers.py):
@@ -8,18 +8,22 @@ Semantics parity with the reference's message-passing ops
     Jacobi-scaled  y = eps*diag*x + A (diag * (A^T x)).
   * ``llt_apply``  ~ LLT (:264-275):    y = L (L^T x).
 
-Two formulations:
-  * ELL (default when the graph carries ELL views): scatter-free
-    ``gather → block matmul → masked row-sum``. This is the TPU-native hot
-    path — XLA lowers the gathers to dynamic-gather and the contraction to
-    VPU/MXU work with no serialization hazards.
-  * COO fallback: gather + ``jax.ops.segment_sum`` (sorted scatter-add);
-    used when no ELL view is attached (e.g. ad-hoc graphs in tests).
+TPU performance notes (measured, v5e):
+  * All hot arrays keep the large node dimension minor: ELL planes are
+    ``[K, N]``, block-component value planes ``[b, b, K, N]``, and the
+    vector is handled component-major ``[b, N]`` internally. ``[N, K]`` or
+    trailing ``[..., b, b]`` layouts waste up to ~40x bandwidth on lane
+    padding.
+  * XLA's dynamic gather on v5e sustains ~15-20 G elements/s for fp32 —
+    the formulation below does b gathers of x planes plus (training path
+    only) b^2 value-plane gathers; solver-side matrices `freeze_values()`
+    once so the per-iteration SpMV reads values directly.
+  * Never close over a BlockGraph under jit — pass it as an argument
+    (closure constants are inlined into the HLO).
 
-All functions take ``x`` of shape [N, b] (block layout) and are
-differentiable end-to-end — the VJP of a gather is a scatter-add, which XLA
-generates; the SPAI apply therefore backprops through both SpMVs exactly as
-the reference's training loss requires (workspace.py:96-112).
+All functions take ``x`` of shape [N, b] and are differentiable; the VJP
+of gather is scatter-add, so the SPAI apply backprops through both SpMVs
+exactly as the reference's training loss requires (workspace.py:96-112).
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..sparse.bcoo import BlockGraph, EllView
+from ..sparse.bcoo import BlockGraph, EllView, _ell_values
 
 
 def _check_x(graph: BlockGraph, x: jax.Array) -> jax.Array:
@@ -47,7 +51,8 @@ def spmv_coo(
     transpose: bool = False,
     mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Segment-sum SpMV over COO edges. Padding edges carry zero blocks."""
+    """Segment-sum SpMV over COO edges (fallback path; padding edges must
+    carry zero blocks)."""
     x = _check_x(graph, x)
     src = graph.edge_row if transpose else graph.edge_col
     dst = graph.edge_col if transpose else graph.edge_row
@@ -64,17 +69,25 @@ def spmv_coo(
 
 
 def _ell_matvec(
-    ell: EllView, blocks: jax.Array, x: jax.Array, transpose_blocks: bool
+    ell: EllView,
+    graph: BlockGraph,
+    x: jax.Array,
+    vals: Optional[jax.Array],
+    transpose_blocks: bool,
 ) -> jax.Array:
-    """y[i] = sum_k mask[i,k] * B[ell_edge[i,k]] (@ or ^T@) x[ell_col[i,k]]."""
-    be = blocks[ell.ell_edge]  # [N, K, b, b]
-    xg = x[ell.ell_col]  # [N, K, b]
-    if transpose_blocks:
-        prod = jnp.einsum("nkcb,nkc->nkb", be, xg)
-    else:
-        prod = jnp.einsum("nkbc,nkc->nkb", be, xg)
-    m = ell.ell_mask.astype(prod.dtype)
-    return jnp.einsum("nkb,nk->nb", prod, m)
+    """Core [K,N]-layout ELL matvec. x: [N, b] -> y: [N, b].
+
+    vals: frozen [b, b, K, N] planes, or None to gather from edge-ordered
+    blocks (training path).
+    """
+    b = graph.block_size
+    if vals is None:
+        vals = _ell_values(ell, graph.blocks, transpose_blocks)
+    xt = x.T  # [b, N]
+    xg = xt[:, ell.ell_col]  # [b, K, N] — b gathers of [K, N]
+    # y[p, i] = sum_q sum_k vals[p, q, k, i] * xg[q, k, i]
+    yt = jnp.einsum("pqkn,qkn->pn", vals, xg)
+    return yt.T
 
 
 def spmv_ell(
@@ -82,7 +95,7 @@ def spmv_ell(
 ) -> jax.Array:
     x = _check_x(graph, x)
     assert graph.ell is not None, "graph has no ELL view; call attach_ell"
-    y = _ell_matvec(graph.ell, graph.blocks, x, transpose_blocks=False)
+    y = _ell_matvec(graph.ell, graph, x, graph.ell_vals, transpose_blocks=False)
     if mask is not None:
         y = y * mask.reshape(y.shape)
     return y
@@ -93,7 +106,7 @@ def spmv_t_ell(
 ) -> jax.Array:
     x = _check_x(graph, x)
     assert graph.ell_t is not None, "graph has no transpose ELL view"
-    y = _ell_matvec(graph.ell_t, graph.blocks, x, transpose_blocks=True)
+    y = _ell_matvec(graph.ell_t, graph, x, graph.ell_vals_t, transpose_blocks=True)
     if mask is not None:
         y = y * mask.reshape(y.shape)
     return y

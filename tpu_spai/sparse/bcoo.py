@@ -5,24 +5,30 @@ TPU-first sparse design
 The reference (neural_cg/nn/basic_layers.py:112-142 `GraphSpmv`) performs
 block SpMV as PyG message passing: per-edge `bmm` + CUDA `scatter_add`.
 Scatter is hostile to TPU vector units, so the device format here is an
-**ELL view**: every block-row's edges are padded to a common width ``K`` and
-stored as two ``[N, K]`` integer index planes,
+**ELL view**: every block-row's edges are padded to a common width ``K``
+and stored as **transposed** ``[K, N]`` integer planes,
 
-  * ``ell_edge[i, k]`` — edge id occupying slot ``k`` of row ``i``
-  * ``ell_col[i, k]``  — the column (block) index of that edge
+  * ``ell_edge[k, i]`` — edge id occupying slot ``k`` of row ``i``
+  * ``ell_col[k, i]``  — the column (block) index of that edge
 
-so that SpMV is a scatter-free ``gather → block-einsum → row-sum``::
+so that SpMV is a scatter-free ``gather → multiply → K-sum``::
 
-  y[i] = sum_k mask[i,k] * blocks[ell_edge[i,k]] @ x[ell_col[i,k]]
+  y[i] = sum_k mask[k,i] * blocks[ell_edge[k,i]] @ x[ell_col[k,i]]
 
-Transpose-SpMV (needed by the SPAI apply ``eps*x + A @ (A^T @ x)``,
-reference basic_layers.py:228-261) never materializes ``A^T``: SPD matrices
-have structurally symmetric sparsity, so a precomputed **edge permutation**
-``perm`` with ``(row[perm[e]], col[perm[e]]) == (col[e], row[e])`` lets the
-same ELL planes serve the transpose by reading ``blocks[perm[...]]`` with the
-``b×b`` block transposed in-register.
+Layout rationale (measured on TPU v5e): arrays must keep a large minor
+(lane) dimension — ``[N, K]`` planes with K~13 pad the lane dim to 128
+(10x wasted bandwidth) and trailing ``[...,b,b]`` block dims with b in
+{1,3} are worse. The ``[K, N]`` planes keep N minor; block components are
+stored as separate ``[b, b, K, N]`` value planes (`ell_vals`), frozen once
+for solver-side matrices whose values never change across CG iterations,
+or materialized on the fly from edge-ordered ``blocks`` for the GNN
+training path (one extra gather).
 
-All shapes are static: edges and rows are padded (host side, numpy) so
+Transpose-SpMV (needed by the SPAI apply ``eps*x + A (A^T x)``, reference
+basic_layers.py:228-261) uses a second ELL view of the transposed pattern
+(same edge ids, block transposed in-register) — no ``A^T`` materialization.
+
+All shapes are static: edges and rows are padded host-side so
 variable-topology datasets hit a bounded set of compiled programs.
 """
 
@@ -30,7 +36,6 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import field
-from functools import partial
 from typing import Optional
 
 import jax
@@ -45,19 +50,22 @@ def _static(**kw):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EllView:
-    """Padded-row (ELL) index planes for scatter-free SpMV.
+    """Transposed padded-row (ELL) index planes for scatter-free SpMV.
 
-    ``ell_edge`` indexes into the graph's edge arrays; padding slots carry
-    ``mask == 0`` and point at edge 0 / column 0 (their contribution is
-    multiplied away, and reading a valid location keeps gathers in-bounds).
+    Padding slots carry ``mask == 0`` and point at edge 0 / column 0
+    (contribution multiplied away; in-bounds reads keep gathers cheap).
     """
 
-    ell_edge: jax.Array  # int32 [N, K]
-    ell_col: jax.Array  # int32 [N, K]
-    ell_mask: jax.Array  # dtype [N, K] (0/1)
+    ell_edge: jax.Array  # int32 [K, N]
+    ell_col: jax.Array  # int32 [K, N]
+    ell_mask: jax.Array  # float32 [K, N] (0/1)
 
     @property
     def width(self) -> int:
+        return self.ell_edge.shape[0]
+
+    @property
+    def n_rows(self) -> int:
         return self.ell_edge.shape[1]
 
 
@@ -70,7 +78,12 @@ class BlockGraph:
     (neural_cg/data.py:173-183 `RawData`): block values ``[E, b, b]`` on
     edges ``(edge_row, edge_col)`` over ``n_nodes`` block rows. Padding
     edges (``e >= n_edges_valid``) must carry zero blocks and may point
-    anywhere in range; linear ops then need no edge mask.
+    anywhere in range; ELL views exclude them entirely.
+
+    ``ell_vals`` / ``ell_vals_t`` are frozen ELL-ordered value planes
+    ``[b, b, K, N]`` (mask pre-baked). They are built by `freeze_values`
+    for matrices whose values are reused across many SpMVs (the CG system
+    matrix and an already-predicted factor); `with_blocks` drops them.
     """
 
     edge_row: jax.Array  # int32 [E]
@@ -78,10 +91,11 @@ class BlockGraph:
     blocks: jax.Array  # [E, b, b]
     n_nodes: int = _static()
     block_size: int = _static(default=1)
-    # ELL views (None until attached; built host-side per topology)
     ell: Optional[EllView] = None
     ell_t: Optional[EllView] = None  # ELL of the transpose pattern
     transpose_perm: Optional[jax.Array] = None  # int32 [E]
+    ell_vals: Optional[jax.Array] = None  # [b, b, K, N]
+    ell_vals_t: Optional[jax.Array] = None  # [b, b, K, N] (transposed blocks)
 
     @property
     def n_edges(self) -> int:
@@ -92,11 +106,41 @@ class BlockGraph:
         return self.n_nodes * self.block_size
 
     def with_blocks(self, blocks: jax.Array) -> "BlockGraph":
-        """Same topology, new values (e.g. the GNN-predicted factor)."""
-        return dataclasses.replace(self, blocks=blocks)
+        """Same topology, new values (e.g. the GNN-predicted factor).
+        Frozen ELL value planes are dropped (they described old values)."""
+        return dataclasses.replace(
+            self, blocks=blocks, ell_vals=None, ell_vals_t=None
+        )
 
     def astype(self, dtype) -> "BlockGraph":
-        return dataclasses.replace(self, blocks=self.blocks.astype(dtype))
+        rep = dict(blocks=self.blocks.astype(dtype))
+        if self.ell_vals is not None:
+            rep["ell_vals"] = self.ell_vals.astype(dtype)
+        if self.ell_vals_t is not None:
+            rep["ell_vals_t"] = self.ell_vals_t.astype(dtype)
+        return dataclasses.replace(self, **rep)
+
+    def freeze_values(self) -> "BlockGraph":
+        """Materialize masked ELL-ordered value planes for fast SpMV."""
+        if self.ell is None:
+            return self
+        vals = _ell_values(self.ell, self.blocks, transpose_blocks=False)
+        vals_t = None
+        if self.ell_t is not None:
+            vals_t = _ell_values(self.ell_t, self.blocks, transpose_blocks=True)
+        return dataclasses.replace(self, ell_vals=vals, ell_vals_t=vals_t)
+
+
+def _ell_values(
+    ell: EllView, blocks: jax.Array, transpose_blocks: bool
+) -> jax.Array:
+    """Gather edge-ordered blocks into masked [b, b, K, N] ELL planes."""
+    b = blocks.shape[-1]
+    comp = blocks.transpose(1, 2, 0)  # [b, b, E] — component-major planes
+    out = comp[:, :, ell.ell_edge]  # [b, b, K, N]
+    if transpose_blocks:
+        out = out.transpose(1, 0, 2, 3)
+    return out * ell.ell_mask[None, None]
 
 
 # ---------------------------------------------------------------------------
@@ -108,15 +152,12 @@ class BlockGraph:
 def transpose_permutation(edge_row: np.ndarray, edge_col: np.ndarray) -> np.ndarray:
     """Permutation ``perm`` with edge ``perm[e]`` at ``(col[e], row[e])``.
 
-    Requires a structurally symmetric pattern (true for the SPD systems this
-    framework targets). Padding edges (if any) must be self-symmetric, e.g.
-    ``(0, 0)`` duplicates are not allowed — callers pad with distinct
-    diagonal self-loops or ensure uniqueness beforehand.
+    Requires a structurally symmetric pattern (true for the SPD systems
+    this framework targets).
     """
     e = len(edge_row)
     order_fwd = np.lexsort((edge_col, edge_row))
     order_bwd = np.lexsort((edge_row, edge_col))
-    # sorted-by-(row,col) edge k corresponds to sorted-by-(col,row) edge k.
     perm = np.empty(e, dtype=np.int64)
     perm[order_fwd] = order_bwd
     fr, fc = edge_row[perm], edge_col[perm]
@@ -133,7 +174,8 @@ def build_ell(
     width: Optional[int] = None,
     mask_dtype=np.float32,
 ) -> EllView:
-    """Build the padded-row index planes for ``y[i] = sum_j A[i,j] x[j]``.
+    """Build transposed padded-row index planes for
+    ``y[i] = sum_j A[i,j] x[j]``.
 
     Args:
       edge_row/edge_col: block-level COO indices, possibly padded at the end.
@@ -151,12 +193,12 @@ def build_ell(
         k = width
     order = np.argsort(rows, kind="stable")
     slot = np.arange(n_valid) - np.concatenate(([0], np.cumsum(counts)))[rows[order]]
-    ell_edge = np.zeros((n_nodes, k), dtype=np.int32)
-    ell_col = np.zeros((n_nodes, k), dtype=np.int32)
-    ell_mask = np.zeros((n_nodes, k), dtype=mask_dtype)
-    ell_edge[rows[order], slot] = order
-    ell_col[rows[order], slot] = cols[order]
-    ell_mask[rows[order], slot] = 1
+    ell_edge = np.zeros((k, n_nodes), dtype=np.int32)
+    ell_col = np.zeros((k, n_nodes), dtype=np.int32)
+    ell_mask = np.zeros((k, n_nodes), dtype=mask_dtype)
+    ell_edge[slot, rows[order]] = order
+    ell_col[slot, rows[order]] = cols[order]
+    ell_mask[slot, rows[order]] = 1
     return EllView(
         ell_edge=jnp.asarray(ell_edge),
         ell_col=jnp.asarray(ell_col),
@@ -168,12 +210,12 @@ def attach_ell(
     graph: BlockGraph,
     n_valid: Optional[int] = None,
     width: Optional[int] = None,
+    freeze: bool = False,
 ) -> BlockGraph:
     """Attach forward + transpose ELL views and the transpose permutation."""
     rows = np.asarray(graph.edge_row)
     cols = np.asarray(graph.edge_col)
     ell = build_ell(rows, cols, graph.n_nodes, n_valid, width)
-    # Transpose pattern: row<->col swapped; same edge ids.
     ell_t = build_ell(cols, rows, graph.n_nodes, n_valid, width)
     nv = len(rows) if n_valid is None else n_valid
     # The transpose permutation exists only for structurally symmetric
@@ -186,6 +228,9 @@ def attach_ell(
         perm_arr = jnp.asarray(perm)
     except ValueError:
         pass
-    return dataclasses.replace(
+    out = dataclasses.replace(
         graph, ell=ell, ell_t=ell_t, transpose_perm=perm_arr
     )
+    if freeze:
+        out = out.freeze_values()
+    return out

@@ -120,6 +120,7 @@ def csr_to_graph(
     pad_edges_to: Optional[int] = None,
     with_ell: bool = True,
     ell_width: Optional[int] = None,
+    freeze: bool = True,
 ) -> BlockGraph:
     """scipy sparse -> device `BlockGraph` (optionally edge-padded + ELL).
 
@@ -158,7 +159,7 @@ def csr_to_graph(
         block_size=block_size,
     )
     if with_ell:
-        graph = attach_ell(graph, n_valid=n_valid, width=ell_width)
+        graph = attach_ell(graph, n_valid=n_valid, width=ell_width, freeze=freeze)
     return graph
 
 
