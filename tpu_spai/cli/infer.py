@@ -64,6 +64,11 @@ def main(argv=None):
         epsilon=float(cfg.epsilon),
     )
     scaled = workspace.name == "scaled"
+    override_eps = cfg.select("override_epsilon")
+    if override_eps is not None:
+        # epsilon sweep support (misc/infer_all_precision_epsilon_override.sh)
+        workspace.epsilon = float(override_eps)
+        log.info(f"override epsilon -> {workspace.epsilon:.3e}")
 
     rtol = float(cfg.select("rtol", 1e-6))
     repeat = int(cfg.select("repeat", 1))
