@@ -48,7 +48,7 @@ def _dot(a: jax.Array, b: jax.Array, dtype) -> jax.Array:
     return jnp.vdot(a.astype(dtype).ravel(), b.astype(dtype).ravel())
 
 
-@partial(jax.jit, static_argnames=("dot_dtype", "matvec"))
+@partial(jax.jit, static_argnames=("dot_dtype", "matvec", "_shape_override"))
 def pcg(
     graph: BlockGraph,
     b: jax.Array,
@@ -59,6 +59,7 @@ def pcg(
     mask: Optional[jax.Array] = None,
     dot_dtype=None,
     matvec: Optional[Callable[[BlockGraph, jax.Array], jax.Array]] = None,
+    _shape_override: Optional[tuple] = None,
 ) -> CGResult:
     """Solve ``A x = b`` with PCG. ``b`` is [N, blk] or flat [N*blk].
 
@@ -70,8 +71,10 @@ def pcg(
         distributed callers pass a halo-exchanging matvec here.
     """
     orig_shape = b.shape
-    nb = graph.block_size
-    bvec = b.reshape(graph.n_nodes, nb)
+    n_nodes, nb = (
+        _shape_override if _shape_override else (graph.n_nodes, graph.block_size)
+    )
+    bvec = b.reshape(n_nodes, nb)
     dd = dot_dtype or bvec.dtype
     mv = matvec if matvec is not None else (lambda g, v: spmv(g, v, mask))
     mapply = prec if prec is not None else (lambda r: r)
