@@ -52,12 +52,32 @@ def main(argv=None):
         batch_less=bool(cfg.select("batch_less", False)),
     )
 
+    # warm start (~ train.py:63-68 pretrained= handling)
+    pretrained = cfg.select("pretrained", "")
+    init_params = None
+    if pretrained:
+        from pathlib import Path as _P
+
+        import jax as _jax
+
+        from ..data.batching import collate
+
+        ckpt = _P(pretrained)
+        if ckpt.is_dir() and (ckpt / "latest.json").exists():
+            ckpt = latest_checkpoint(ckpt)
+        example = collate([dataset.get(0)])
+        init_params = load_checkpoint(
+            ckpt, workspace.init_params(_jax.random.key(0), example)
+        )
+        log.info(f"Loaded pretrained model from {ckpt}")
+
     params = fit(
         workspace,
         dataset,
         cfg,
         out_dir=cfg.select("output_dir"),
         seed=int(cfg.select("seed", 42)),
+        init_params=init_params,
     )
 
     # test pass on the val split (reference: trainer.test on val loader)

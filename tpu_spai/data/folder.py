@@ -62,10 +62,14 @@ class FolderDataset:
         use_edge_features_as_node_feature: AggKind = "disable",
         use_random_rhs: bool = True,
         normalize_matrix: "bool | str" = "mean",
+        use_two_hop: bool = False,
         seed: int = 0,
     ):
         self.path = Path(prefix)
         self.is_fixed_topology = is_fixed_topology
+        # NIF baseline: expand sparsity to two hops before the GNN
+        # (nif.py:266,278); new edges carry zero matrix blocks.
+        self.use_two_hop = use_two_hop
         self.block_size = block_size
         self.rng = np.random.default_rng(seed)
 
@@ -208,9 +212,16 @@ class FolderDataset:
         )
 
     def get_raw(self, idx: int) -> RawSample:
-        if self._cache is not None:
-            return self._cache[idx]
-        return self._load_raw(idx)
+        raw = self._cache[idx] if self._cache is not None else self._load_raw(idx)
+        if self.use_two_hop:
+            from ..gnn.graph_ops import two_hop_host
+            import dataclasses as _dc
+
+            new_ei, new_bv = two_hop_host(
+                raw.edge_index, raw.num_nodes, raw.block_values
+            )
+            raw = _dc.replace(raw, edge_index=new_ei, block_values=new_bv)
+        return raw
 
     def get(self, idx: int, is_inference: bool = False) -> GraphSample:
         s = make_features(

@@ -167,6 +167,7 @@ def fit(
     cfg,
     out_dir: Optional[str] = None,
     seed: int = 42,
+    init_params=None,
 ):
     """Train `workspace` on `dataset` per config `cfg`; returns params."""
     from ..data.folder import split_dataset
@@ -186,7 +187,10 @@ def fit(
         return collate([dataset.get(i) for i in ids], **buckets)
 
     example = get_batch(train_idx[:batch_size])
-    params = workspace.init_params(key, example)
+    params = (
+        init_params if init_params is not None
+        else workspace.init_params(key, example)
+    )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log.info(f"model parameters: {n_params}")
 
