@@ -22,11 +22,14 @@ def _ckptr():
     return ocp.StandardCheckpointer()
 
 
-def save_checkpoint(ckpt_dir, epoch: int, params, cfg=None) -> Path:
+def save_checkpoint(ckpt_dir, epoch: int, params, cfg=None, opt_state=None) -> Path:
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = (ckpt_dir / f"epoch_{epoch:04d}").resolve()
     _ckptr().save(path, params, force=True)
+    if opt_state is not None:
+        # full-resume state (Lightning checkpoints carry optimizer state too)
+        _ckptr().save(Path(str(path) + "_opt"), opt_state, force=True)
     if cfg is not None:
         with open(ckpt_dir / "config.yaml", "w") as f:
             yaml.safe_dump(cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg), f)
@@ -51,5 +54,16 @@ def load_checkpoint(path, example_params) -> Any:
     path = Path(path).resolve()
     target = jax.tree_util.tree_map(
         lambda x: ocp.utils.to_shape_dtype_struct(x), example_params
+    )
+    return _ckptr().restore(path, target)
+
+
+def load_opt_state(path, example_opt_state) -> Any:
+    """Restore optimizer state saved next to a params checkpoint."""
+    import orbax.checkpoint as ocp
+
+    path = Path(str(Path(path).resolve()) + "_opt")
+    target = jax.tree_util.tree_map(
+        lambda x: ocp.utils.to_shape_dtype_struct(x), example_opt_state
     )
     return _ckptr().restore(path, target)

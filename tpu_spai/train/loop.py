@@ -287,7 +287,8 @@ def fit(
             )
 
         if (epoch + 1) % ckpt_every == 0 or epoch == max_epochs - 1:
-            save_checkpoint(out / "checkpoints", epoch, params, cfg)
+            save_checkpoint(out / "checkpoints", epoch, params, cfg,
+                            opt_state=opt_state)
 
     metrics.close()
     return params
