@@ -69,12 +69,23 @@ class Config(dict):
         return conv(self)
 
 
+_FLOAT_LITERAL = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _coerce(v):
+    """YAML 1.1 parses exponent literals without a sign ('3.0e6', '1e-3')
+    as strings; coerce them to floats so configs behave as written."""
+    if isinstance(v, str) and _FLOAT_LITERAL.match(v):
+        return float(v)
+    return v
+
+
 def _wrap(obj):
     if isinstance(obj, dict):
         return Config({k: _wrap(v) for k, v in obj.items()})
     if isinstance(obj, list):
         return [_wrap(v) for v in obj]
-    return obj
+    return _coerce(obj)
 
 
 def _merge(base: Config, over: Union[Config, dict]) -> Config:
@@ -89,7 +100,7 @@ def _merge(base: Config, over: Union[Config, dict]) -> Config:
 
 def _parse_value(text: str):
     try:
-        return yaml.safe_load(text)
+        return _wrap(yaml.safe_load(text))
     except yaml.YAMLError:
         return text
 
