@@ -151,7 +151,7 @@ def main(argv=None):
     )
 
     # multidata: two twist resolutions through MultiFolderDataset
-    TwistDatagen(prefix=f"{wd}/twist_r4", nx=2, resolution=4, max_count=8,
+    TwistDatagen(prefix=f"{wd}/twist_r4", nx=2, resolution=4, max_count=10,
                  time_step=0.02).generate()
     results["multidata"] = run_family(
         "multidata",

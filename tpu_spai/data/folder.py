@@ -243,6 +243,11 @@ class MultiFolderDataset:
     def __init__(self, all_prefix: Sequence[str], **kwargs):
         kwargs.pop("prefix", None)
         self.datasets = [FolderDataset(prefix=p, **kwargs) for p in all_prefix]
+        lens = [len(d) for d in self.datasets]
+        if len(set(lens)) != 1:
+            # the reference's index convention (data.py:664-666) assumes
+            # equal-length folders; fail loudly instead of wrapping around
+            raise ValueError(f"MultiFolderDataset needs equal-length folders, got {lens}")
         self.dataset_length = len(self.datasets[0])
         self.block_size = self.datasets[0].block_size
         self.num_node_features = self.datasets[0].num_node_features
