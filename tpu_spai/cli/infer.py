@@ -189,6 +189,50 @@ def main(argv=None):
             dt = (time.perf_counter() - t0) / repeat
             stats.put("Neural+TPU", dt, prec_t, float(res.iters), msize)
 
+            # gather-free windowed Pallas solve (production path; needs a
+            # bandable pattern — RCM-reordered FEM matrices qualify)
+            if bool(cfg.select("use_windowed", True)) and not scaled:
+                try:
+                    from ..dist.partition import rcm_permutation
+                    from ..solver.windowed import (
+                        WindowedSpaiPrec,
+                        build_windowed_graph,
+                        pcg_windowed,
+                    )
+
+                    wperm = rcm_permutation(a_csr)
+                    a_p = a_csr[wperm][:, wperm].tocsr()
+                    a_p.sort_indices()
+                    l_p = l_csr[wperm][:, wperm].tocsr()
+                    l_p.sort_indices()
+                    wa = build_windowed_graph(csr_to_graph(a_p, dtype=np.float32))
+                    wl = build_windowed_graph(
+                        csr_to_graph(l_p, dtype=np.float32), transpose_too=True
+                    )
+                    if wa is not None and wl is not None:
+                        b_p = jnp.asarray((a_csr @ r)[wperm], dtype=jnp.float32)
+                        wprec = WindowedSpaiPrec(
+                            wl[0], wl[1], jnp.float32(workspace.epsilon)
+                        )
+                        wres = pcg_windowed(
+                            wa[0], b_p, prec=wprec, rtol=rtol,
+                            max_iter=msize, dot_dtype=jnp.float64,
+                        )
+                        np.asarray(wres.x)
+                        t0 = time.perf_counter()
+                        for _ in range(repeat):
+                            wres = pcg_windowed(
+                                wa[0], b_p, prec=wprec, rtol=rtol,
+                                max_iter=msize, dot_dtype=jnp.float64,
+                            )
+                            np.asarray(wres.x)
+                        dtw = (time.perf_counter() - t0) / repeat
+                        stats.put(
+                            "Neural+TPUw", dtw, prec_t, float(wres.iters), msize
+                        )
+                except Exception as e:  # noqa: BLE001
+                    log.warning(f"windowed solve skipped: {e}")
+
             if enable_cholmod:
                 t0 = time.perf_counter()
                 _, solve_t = direct_solve_time(a_csr, a_csr @ r)
