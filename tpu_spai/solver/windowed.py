@@ -93,11 +93,21 @@ class WindowedSpaiPrec:
 
 @dataclasses.dataclass(frozen=True)
 class _MatvecWrapper:
-    """Hashable matvec for pcg's static `matvec` argument."""
+    """Hashable matvec for pcg's static `matvec` argument.
+
+    With ``carrier64`` the CG vectors stay fp64 while the SpMV runs fp32
+    (mixed-precision refinement style): the fp32 product is upcast so the
+    residual recurrence accumulates in fp64 — removes the fp32 noise-floor
+    iteration inflation near tight tolerances at fp32-SpMV speed.
+    """
 
     impl: str
+    carrier64: bool = False
 
     def __call__(self, w, v):
+        if self.carrier64:
+            y = windowed_matvec(w, v.astype(jnp.float32), self.impl)
+            return y.astype(jnp.float64)
         return windowed_matvec(w, v, self.impl)
 
 
@@ -109,6 +119,7 @@ def pcg_windowed(
     max_iter: int = 1000,
     dot_dtype=None,
     impl: str = "pallas",
+    mixed: bool = False,
 ) -> CGResult:
     """PCG where A and the preconditioner are windowed operators.
 
@@ -119,12 +130,12 @@ def pcg_windowed(
 
     n = w_a.n_nodes
     bvec = b.reshape(n, -1)
-
-    class _G:  # minimal duck-graph for pcg's shape bookkeeping
-        n_nodes = n
-        block_size = bvec.shape[1]
-
-    # pcg reshapes via graph.n_nodes/block_size only; pass planes directly.
+    if mixed:
+        # fp64 carrier vectors, fp32 SpMV/preconditioner (see _MatvecWrapper)
+        bvec = bvec.astype(jnp.float64)
+        dot_dtype = jnp.float64
+        if prec is not None:
+            prec = _Mixed64Prec(prec)
     return pcg(
         w_a,
         bvec,
@@ -132,6 +143,17 @@ def pcg_windowed(
         rtol=rtol,
         max_iter=max_iter,
         dot_dtype=dot_dtype,
-        matvec=_MatvecWrapper(impl),
+        matvec=_MatvecWrapper(impl, carrier64=mixed),
         _shape_override=(n, bvec.shape[1]),
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _Mixed64Prec:
+    """fp64-carrier wrapper around a windowed preconditioner."""
+
+    inner: WindowedSpaiPrec
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        return self.inner(r.astype(jnp.float32)).astype(jnp.float64)
