@@ -133,10 +133,42 @@ def main(argv=None):
          "data.has_shared_features=false"],
         e, wd,
     )
-    # OOD shift: evaluate the heat model on out-of-distribution density
-    # (README.md:67-71 min_density sweep) — covered by generating an OOD
-    # set and checking convergence of the same trained model is left to
-    # the full run (the datagen supports random_field=false/min_density).
+
+    # OOD shift (README.md:67-71): same trained model, out-of-distribution
+    # constant density (random_field=false, min_density raised).
+    try:
+        from ..data.batching import collate
+        from ..data.folder import FolderDataset
+        from ..train.loop import check_convergence
+        from ..train import get_workspace
+        from ..train.checkpoints import latest_checkpoint, load_checkpoint
+        from ..config import load_config
+        import jax as _jax
+
+        MultimeshHeatDatagen(
+            prefix=f"{wd}/heat_mm_ood", max_count=4, res_range=(5, 7),
+            random_field=False, min_density=1e-3, seed=6,
+        ).generate()
+        cfg = load_config("configs", "basic", [
+            "exp_name=ood", f"data.prefix={wd}/heat_mm_ood",
+            "data.is_fixed_topology=false", "data.has_shared_features=false",
+        ])
+        ds_ood = FolderDataset(**cfg.data)
+        ws = get_workspace("simple")(
+            gnn=cfg.gnn, loss=cfg.loss, block_size=1, epsilon=float(cfg.epsilon),
+        )
+        ck = latest_checkpoint(f"{wd}/out_heat_tetmesh/checkpoints")
+        params = load_checkpoint(
+            ck, ws.init_params(_jax.random.key(0), collate([ds_ood.get(0)]))
+        )
+        stats = check_convergence(
+            ws, params, collate([ds_ood.get(0)]),
+            ["none", "diagonal", "ic"], epsilon=float(cfg.epsilon),
+            max_iter=5000,
+        )
+        results["heat_tetmesh_OOD"] = stats
+    except Exception as exc:  # noqa: BLE001
+        print(f"OOD eval skipped: {exc}")
 
     results["elast_twist_bsr3"] = run_family(
         "elast_twist_bsr3",
