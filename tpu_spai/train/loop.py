@@ -197,6 +197,15 @@ def fit(
     tcfg = cfg.trainer
     max_epochs = int(tcfg["max_epochs"])
     steps_per_epoch = max(1, len(train_idx) // batch_size)
+    from .optim import create_schedule
+
+    lr_schedule = create_schedule(
+        cfg.scheduler["name"],
+        float(dict(cfg.optimizer.get("params") or {}).get("lr", 1e-3)),
+        steps_per_epoch,
+        max_epochs,
+        dict(cfg.scheduler.get("params") or {}),
+    )
     tx = create_optimizer(
         cfg.optimizer["name"],
         dict(cfg.optimizer.get("params") or {}),
@@ -255,7 +264,13 @@ def fit(
             if fast_dev:
                 break
         mean_loss = float(np.mean(ep_losses))
-        metrics.log({"Train/EpochLoss": mean_loss}, step=step, epoch=epoch)
+        lr_now = (
+            float(lr_schedule(step)) if callable(lr_schedule) else float(lr_schedule)
+        )
+        metrics.log(
+            {"Train/EpochLoss": mean_loss, "Train/lr": lr_now},
+            step=step, epoch=epoch,
+        )
         log.info(
             f"epoch {epoch}: loss={mean_loss:.4e} ({time.time()-t_ep:.1f}s)"
         )
