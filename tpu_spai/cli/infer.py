@@ -55,7 +55,28 @@ def build_rhs(kind: str, mask: np.ndarray, a_pattern, rng) -> np.ndarray:
 
 def main(argv=None):
     cfg = cli_config(argv if argv is not None else sys.argv[1:], CONFIG_DIR, "basic")
-    dataset = build_dataset(cfg)
+    # exp_name-based dataset selection (infer.py:168-208): the two external
+    # families get their adapters; everything else reads the folder contract.
+    if cfg.exp_name == "heatmultisource":
+        from ..data.adapters import HeatMultiSourceDataset
+
+        dataset = HeatMultiSourceDataset(
+            n_domains=int(cfg.select("n_domains", 8)),
+            steps_per_domain=int(cfg.select("steps_per_domain", 8)),
+            seed=int(cfg.select("seed", 42)),
+        )
+    elif cfg.exp_name == "nif":
+        from pathlib import Path as _P
+
+        from ..data.adapters import NIFTorchDataset
+
+        root = _P(cfg.select("data_path", "data/Random"))
+        dataset = NIFTorchDataset(
+            root / "test" if (root / "test").exists() else root,
+            seed=int(cfg.select("seed", 42)),
+        )
+    else:
+        dataset = build_dataset(cfg)
     ws_cls = get_workspace(cfg.select("workspace", "simple"))
     workspace = ws_cls(
         gnn=cfg.gnn,
