@@ -22,3 +22,24 @@ if not os.environ.get("TPU_SPAI_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax-heavy modules at package
+    import): `tpu_spai.pcg`, `tpu_spai.csr_to_graph`, ..."""
+    from importlib import import_module
+
+    table = {
+        "csr_to_graph": "tpu_spai.sparse",
+        "graph_to_csr": "tpu_spai.sparse",
+        "BlockGraph": "tpu_spai.sparse",
+        "pcg": "tpu_spai.solver",
+        "pcg_trace": "tpu_spai.solver",
+        "spai_prec": "tpu_spai.solver",
+        "jacobi_prec": "tpu_spai.solver",
+        "spmv": "tpu_spai.kernels",
+        "spai_apply": "tpu_spai.kernels",
+    }
+    if name in table:
+        return getattr(import_module(table[name]), name)
+    raise AttributeError(name)
