@@ -83,6 +83,7 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--workdir", default="/tmp/parity")
     ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--families", default="", help="comma list to run (default all)")
     args = ap.parse_args(argv)
 
     import jax
@@ -99,8 +100,13 @@ def main(argv=None):
     wd.mkdir(parents=True, exist_ok=True)
     e = args.epochs
     results = {}
+    only = {f for f in args.families.split(",") if f}
 
-    results["synthetic"] = run_family(
+    def want(name):
+        return not only or name in only
+
+    if want("synthetic"):
+      results["synthetic"] = run_family(
         "synthetic",
         lambda: SyntheticDatagen(
             prefix=f"{wd}/synthetic", max_count=16, low=200, high=280,
@@ -113,7 +119,8 @@ def main(argv=None):
         e, wd,
     )
 
-    results["poisson2d"] = run_family(
+    if want("poisson2d"):
+      results["poisson2d"] = run_family(
         "poisson2d",
         lambda: PoissonDatagen(
             prefix=f"{wd}/poisson", mesh="grid:14", max_count=16, seed=3,
@@ -123,7 +130,8 @@ def main(argv=None):
         e, wd,
     )
 
-    results["heat_tetmesh"] = run_family(
+    if want("heat_tetmesh"):
+      results["heat_tetmesh"] = run_family(
         "heat_tetmesh",
         lambda: MultimeshHeatDatagen(
             prefix=f"{wd}/heat_mm", max_count=16, res_range=(5, 7), seed=5,
@@ -137,6 +145,8 @@ def main(argv=None):
     # OOD shift (README.md:67-71): same trained model, out-of-distribution
     # constant density (random_field=false, min_density raised).
     try:
+        if not want("heat_tetmesh"):
+            raise RuntimeError("heat_tetmesh skipped")
         from ..data.batching import collate
         from ..data.folder import FolderDataset
         from ..train.loop import check_convergence
@@ -170,7 +180,10 @@ def main(argv=None):
     except Exception as exc:  # noqa: BLE001
         print(f"OOD eval skipped: {exc}")
 
-    results["elast_twist_bsr3"] = run_family(
+    if want("elast_twist_bsr3"):
+      # scaled workspace: hyperelastic Hessians are badly row-scaled, the
+      # Jacobi-scaled variant is the right choice (see PARITY.md finding)
+      results["elast_twist_bsr3"] = run_family(
         "elast_twist_bsr3",
         lambda: TwistDatagen(
             prefix=f"{wd}/twist", nx=2, resolution=3, max_count=10,
@@ -178,22 +191,24 @@ def main(argv=None):
         ).generate(),
         {},
         [f"data.prefix={wd}/twist", "data.block_size=3",
-         "data.has_shared_features=true"],
+         "data.has_shared_features=true", "workspace=scaled"],
         e, wd,
-    )
+      )
 
-    # multidata: two twist resolutions through MultiFolderDataset
-    TwistDatagen(prefix=f"{wd}/twist_r4", nx=2, resolution=4, max_count=10,
-                 time_step=0.02).generate()
-    results["multidata"] = run_family(
+    if want("multidata"):
+      # multidata: two twist resolutions through MultiFolderDataset
+      TwistDatagen(prefix=f"{wd}/twist_r4", nx=2, resolution=4, max_count=10,
+                   time_step=0.02).generate()
+      results["multidata"] = run_family(
         "multidata",
         lambda: None,
         {},
         [f"data.prefix={wd}/twist", "data.block_size=3",
-         "data.has_shared_features=false", "data.use_node_features=true"],
+         "data.has_shared_features=false", "data.use_node_features=true",
+         "workspace=scaled"],
         e, wd,
         multi_prefixes=[f"{wd}/twist", f"{wd}/twist_r4"],
-    )
+      )
 
     lines = [
         "# Five-family convergence parity (scaled-down harness)",
