@@ -31,12 +31,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _device_watchdog(seconds: int = 300):
+    """Fail with one JSON line instead of hanging if the TPU tunnel is down
+    (the axon worker can take ~10-40 min to recover after a crash)."""
+    import signal
+
+    def handler(signum, frame):
+        print(json.dumps({
+            "metric": "cg_iters_per_s",
+            "value": 0.0,
+            "unit": "iterations/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": "TPU device unavailable (watchdog timeout)"},
+        }))
+        sys.exit(0)
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    return lambda: signal.alarm(0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
 
     import tpu_spai  # noqa: F401
+
+    cancel = _device_watchdog(300)
+    jnp.ones(8).sum().block_until_ready()  # first device contact
+    cancel()
     from tpu_spai.datagen.meshes import unit_box_tet
     from tpu_spai.dist.partition import rcm_permutation
     from tpu_spai.kernels.spmv_pallas import windowed_spmv_pallas_scalar
