@@ -1,0 +1,100 @@
+"""gsel SpMV scheme: host builder + XLA reference + Pallas (interpret).
+
+Oracle: scipy CSR matvec in f64, compared at f32 tolerance (the scheme is
+f32-exact up to the usual sum-order rounding).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from tpu_spai.kernels.gsel import build_gsel, gsel_spmv_xla
+from tpu_spai.kernels.gsel_pallas import gsel_spmv_pallas
+
+
+def _fem_matrix(res=8):
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.native import laplacian, lumped_mass
+    from tpu_spai.dist.partition import rcm_permutation
+
+    nodes, elems = unit_box_tet(res, res, res)
+    a = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(1e-2 * lumped_mass(nodes, elems))
+    )
+    perm = rcm_permutation(a)
+    return a[perm][:, perm].tocsr()
+
+
+def _random_matrix(n=700, density=5e-3, seed=0):
+    rng = np.random.default_rng(seed)
+    m = sp.random(n, n, density=density, random_state=rng, format="csr")
+    return (m + m.T + sp.eye(n) * 3.0).tocsr()
+
+
+def _check(a, rtol=2e-5):
+    a = sp.csr_matrix(a)
+    g = build_gsel(a)
+    assert g is not None
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(a.shape[1]).astype(np.float32)
+    want = a.astype(np.float64) @ x.astype(np.float64)
+    got_xla = np.asarray(gsel_spmv_xla(g, jnp.asarray(x)))
+    scale = np.abs(want).max() + 1e-30
+    np.testing.assert_allclose(got_xla / scale, want / scale, atol=rtol)
+    got_pl = np.asarray(gsel_spmv_pallas(g, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got_pl / scale, want / scale, atol=rtol)
+    return g
+
+
+def test_fem_banded():
+    _check(_fem_matrix(8))
+
+
+def test_random_unbanded():
+    # whole-x window: the synthetic-family case (no RCM, no fallback)
+    _check(_random_matrix())
+
+
+def test_rectangular_transpose():
+    # transpose operator (L^T in the SPAI apply) — rectangular-safe path
+    a = _random_matrix(500)
+    at = sp.csr_matrix(a.T)
+    g = build_gsel(at)
+    x = np.random.default_rng(2).standard_normal(500).astype(np.float32)
+    want = at.astype(np.float64) @ x
+    got = np.asarray(gsel_spmv_xla(g, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * np.abs(want).max())
+
+
+def test_bsr_scalar_expansion():
+    # block matrices run at DOF level: expand BSR->CSR, one scalar pass
+    rng = np.random.default_rng(3)
+    nb, b = 60, 3
+    m = sp.random(nb, nb, density=0.05, random_state=rng, format="csr")
+    a = sp.kron(m, np.ones((b, b))).tocsr()
+    a.data = rng.standard_normal(a.nnz)
+    a = (a + a.T + sp.eye(nb * b) * 5).tocsr()
+    _check(a)
+
+
+def test_small_and_empty_rows():
+    a = sp.csr_matrix(np.diag([1.0, 2.0, 3.0, 0.0, 5.0]))
+    g = _check(a)
+    assert g.n_rows == 5
+
+
+def test_padding_tiles():
+    # n not a multiple of 128*group: exercises tile padding in pallas impl
+    a = _random_matrix(n=131)
+    _check(a)
+
+
+def test_too_wide_returns_none():
+    n = 40000
+    rng = np.random.default_rng(4)
+    rows = np.arange(n)
+    cols = rng.integers(0, n, n)
+    a = sp.csr_matrix((np.ones(n), (rows, cols)), shape=(n, n))
+    assert build_gsel(a, max_q=64) is None

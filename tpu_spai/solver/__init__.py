@@ -9,6 +9,7 @@ in fp64 / fp32 / mixed precision, plus host reference preconditioners
 """
 
 from .cg import CGResult, pcg, pcg_trace
+from .gsel_solver import GselSpaiPrec, build_gsel_csr, pcg_gsel
 from .preconditioners import (
     identity_prec,
     jacobi_prec,
@@ -22,6 +23,9 @@ __all__ = [
     "CGResult",
     "pcg",
     "pcg_trace",
+    "GselSpaiPrec",
+    "build_gsel_csr",
+    "pcg_gsel",
     "identity_prec",
     "jacobi_prec",
     "spai_prec",

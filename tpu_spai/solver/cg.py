@@ -45,6 +45,17 @@ class CGResult(NamedTuple):
 
 
 def _dot(a: jax.Array, b: jax.Array, dtype) -> jax.Array:
+    if dtype == "chunk64":
+        # compensated mixed-precision dot: f32 products, f32 sums within
+        # 128-lane chunks (error bounded by the chunk length, not n), exact
+        # f64 accumulation of the n/128 partials. ~f32 cost, ~f64 robustness
+        # — avoids the ~10x emulated-f64 multiply on TPU.
+        p = (a.astype(jnp.float32) * b.astype(jnp.float32)).ravel()
+        pad = (-p.shape[0]) % 128
+        if pad:
+            p = jnp.pad(p, (0, pad))
+        partial = jnp.sum(p.reshape(-1, 128), axis=1)
+        return jnp.sum(partial.astype(jnp.float64))
     return jnp.vdot(a.astype(dtype).ravel(), b.astype(dtype).ravel())
 
 
@@ -76,9 +87,10 @@ def pcg(
     )
     bvec = b.reshape(n_nodes, nb)
     dd = dot_dtype or bvec.dtype
+    dds = jnp.float64 if dd == "chunk64" else dd  # scalar dtype for rtol etc.
     mv = matvec if matvec is not None else (lambda g, v: spmv(g, v, mask))
     mapply = prec if prec is not None else (lambda r: r)
-    rtol = jnp.asarray(rtol, dtype=dd)
+    rtol = jnp.asarray(rtol, dtype=dds)
     max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
 
     x = jnp.zeros_like(bvec) if x0 is None else x0.reshape(bvec.shape)
@@ -86,7 +98,7 @@ def pcg(
     s = mapply(r)
     delta = _dot(r, s, dd)
     bnorm2 = _dot(bvec, bvec, dd)
-    tol2 = (rtol * rtol) * jnp.maximum(bnorm2, jnp.finfo(dd).tiny)
+    tol2 = (rtol * rtol) * jnp.maximum(bnorm2, jnp.finfo(dds).tiny)
     rnorm2 = _dot(r, r, dd)
 
     def cond(state):
@@ -109,7 +121,7 @@ def pcg(
 
     state = (x, r, s, delta, rnorm2, jnp.int32(0))
     x, r, _, _, rnorm2, iters = jax.lax.while_loop(cond, body, state)
-    relres = jnp.sqrt(rnorm2 / jnp.maximum(bnorm2, jnp.finfo(dd).tiny))
+    relres = jnp.sqrt(rnorm2 / jnp.maximum(bnorm2, jnp.finfo(dds).tiny))
     return CGResult(
         x=x.reshape(orig_shape),
         iters=iters,
