@@ -1,19 +1,21 @@
 """Benchmark harness — runs on the real TPU chip; prints ONE JSON line.
 
-Primary metric: full PCG solve throughput (iterations/second) on the
-FEM-heat problem class with the production configuration — fp32 storage,
-fp64 dots, gather-free windowed Pallas SpMV. The whole solve is one
-while_loop dispatch, which amortizes the axon relay's variable per-dispatch
-latency (see docs/PERF.md for the honest-timing protocol).
+Primary metric: SPAI-preconditioned CG throughput (iterations/second) on
+the FEM-heat problem class with the production configuration — gsel
+Pallas SpMV (hardware dynamic-gather scheme, kernels/gsel_pallas.py),
+fp32 storage, chunk64 dots (f32 products, f64 partial combine). The
+preconditioner applies eps*x + L(L^T x) with L carrying the system
+matrix's full sparsity — the same per-iteration workload (3 SpMVs) as
+the reference's learned SPAI.
 
-`vs_baseline` compares against the reference GPU's implied iteration rate
-on its heat benchmark (misc/tab_to_latex_benchmark.py docstring sample:
-113.4 iters in 20.5 ms CUDA -> ~5,500 it/s, ~3 SpMV-equivalents per
-preconditioned iteration; our unpreconditioned iteration has 1 SpMV, so we
-compare per-SpMV-equivalent rates).
+Honest-timing protocol (docs/PERF.md): the axon relay's per-dispatch
+latency is ~25 ms and variable, so per-iteration cost is measured by
+max_iter DIFFERENCING — the same compiled while_loop program dispatched
+at two iteration counts; the relay constant cancels.
 
-Secondary details: SpMV effective bandwidth vs HBM roofline for both the
-windowed Pallas kernel and the XLA gather fallback.
+`vs_baseline` compares against the reference GPU's preconditioned
+iteration rate on its heat benchmark (misc/tab_to_latex_benchmark.py
+docstring sample: 113.4 iters in 20.5 ms CUDA -> ~5,532 it/s).
 """
 
 import json
@@ -23,8 +25,8 @@ import time
 import numpy as np
 
 HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v4": 1228.0, "v6e": 1640.0}
-# reference heat sample: 113.4 iters / 20.5 ms (CUDA, SPAI ~3 spmv/iter)
-REF_SPMV_EQUIV_PER_S = 113.4 * 3 / 0.0205
+# reference heat sample: 113.4 preconditioned iters / 20.5 ms (CUDA)
+REF_PCG_ITERS_PER_S = 113.4 / 0.0205
 
 
 def log(*a):
@@ -38,7 +40,7 @@ def _device_watchdog(seconds: int = 300):
 
     def handler(signum, frame):
         print(json.dumps({
-            "metric": "cg_iters_per_s",
+            "metric": "spai_pcg_iters_per_s",
             "value": 0.0,
             "unit": "iterations/s",
             "vs_baseline": 0.0,
@@ -63,11 +65,8 @@ def main():
     cancel()
     from tpu_spai.datagen.meshes import unit_box_tet
     from tpu_spai.dist.partition import rcm_permutation
-    from tpu_spai.kernels.spmv_pallas import windowed_spmv_pallas_scalar
     from tpu_spai.native import laplacian, lumped_mass
-    from tpu_spai.solver import pcg, jacobi_prec
-    from tpu_spai.solver.windowed import build_windowed_graph, pcg_windowed
-    from tpu_spai.sparse import csr_to_graph
+    from tpu_spai.solver import GselSpaiPrec, build_gsel_csr, pcg_gsel
 
     dev = jax.devices()[0]
     plat = str(getattr(dev, "device_kind", "unknown")).lower()
@@ -86,57 +85,65 @@ def main():
     n, nnz = ap.shape[0], ap.nnz
     log(f"matrix: heat res={res}, n={n} nnz={nnz}")
 
-    g32 = csr_to_graph(ap, dtype=np.float32)
-    wa, _ = build_windowed_graph(g32, tile=128)
+    g = build_gsel_csr(ap)
+    # SPAI factor with the system matrix's sparsity: honest 3-SpMV workload
+    d = np.sqrt(ap.diagonal())
+    lhat = sp.csr_matrix(sp.diags(1.0 / d) @ ap @ sp.diags(1.0 / d))
+    gl = build_gsel_csr(lhat)
+    prec = GselSpaiPrec(gl, gl, jnp.float32(3e-3))  # symmetric: L^T planes = L
+
     xstar = np.random.default_rng(0).standard_normal(n)
     b32 = jnp.asarray(ap @ xstar, dtype=jnp.float32)
 
-    def solve_time(fn, reps=3):
-        r = fn()
-        np.asarray(r.x)
-        ts = []
-        for _ in range(reps):
+    def marginal_per_iter(fn, n1=50, n2=450):
+        r = fn(n2)
+        np.asarray(r.x)  # warm + force
+        ts = {}
+        for m in (n1, n2, n1, n2, n1, n2):
             t0 = time.perf_counter()
-            r = fn()
+            r = fn(m)
             np.asarray(r.x)
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)), r
+            ts.setdefault(m, []).append(time.perf_counter() - t0)
+        return (sorted(ts[n2])[1] - sorted(ts[n1])[1]) / (n2 - n1)
 
-    # production solve: windowed Pallas CG
-    t_w, r_w = solve_time(
-        lambda: pcg_windowed(wa, b32, rtol=1e-6, max_iter=5000, dot_dtype=jnp.float64)
+    # production object: SPAI-preconditioned solve, chunk64 dots
+    t_pcg = marginal_per_iter(
+        lambda m: pcg_gsel(
+            g, b32, prec=prec, rtol=1e-30, max_iter=m, dot_dtype="chunk64"
+        )
     )
-    it_w = int(r_w.iters)
-    iters_per_s = it_w / t_w
-    log(f"windowed-CG: {it_w} iters in {t_w*1e3:.1f} ms -> {iters_per_s:.0f} it/s "
-        f"(converged={bool(r_w.converged)})")
+    pcg_rate = 1.0 / t_pcg
+    log(f"gsel SPAI-PCG: {t_pcg*1e6:.1f} us/iter -> {pcg_rate:.0f} it/s")
 
-    # gather-path solve for comparison
-    t_g, r_g = solve_time(
-        lambda: pcg(g32, b32, rtol=1e-6, max_iter=5000, dot_dtype=jnp.float64)
+    # unpreconditioned CG per-iteration + a real converged solve
+    t_cg = marginal_per_iter(
+        lambda m: pcg_gsel(g, b32, rtol=1e-30, max_iter=m, dot_dtype="chunk64")
     )
-    log(f"gather-CG:  {int(r_g.iters)} iters in {t_g*1e3:.1f} ms")
+    r = pcg_gsel(g, b32, rtol=1e-6, max_iter=5000, dot_dtype="chunk64")
+    it = int(r.iters)
+    log(f"gsel CG: {t_cg*1e6:.1f} us/iter; rtol=1e-6 solve: {it} iters "
+        f"(converged={bool(r.converged)})")
 
-    # SpMV roofline estimate from solve time (1 SpMV + 4 dots + 3 axpys/iter;
-    # attribute ~70% of iteration time to the SpMV conservatively)
-    spmv_t = 0.7 * t_w / max(it_w, 1)
-    gbps = (nnz * 12 + n * 4) / spmv_t / 1e9
-    log(f"implied SpMV: {spmv_t*1e6:.0f} us -> {gbps:.1f} GB/s eff "
-        f"({100*gbps/bw:.1f}% roofline)")
+    # SpMV effective bandwidth vs HBM roofline (1 SpMV + 4 dots + 3 axpys
+    # per unpreconditioned iteration; SpMV dominates — attribute 80%)
+    spmv_t = 0.8 * t_cg
+    gbps = (g.slots * 8 + g.slots // 128 + n * 8) / spmv_t / 1e9
+    log(f"implied SpMV: {spmv_t*1e6:.1f} us -> {gbps:.0f} GB/s slot traffic "
+        f"({100*gbps/bw:.0f}% roofline)")
 
-    value = iters_per_s
     print(json.dumps({
-        "metric": "cg_iters_per_s",
-        "value": round(value, 1),
-        "unit": "iterations/s (heat n=15625, fp32+fp64 dots)",
-        "vs_baseline": round(value / REF_SPMV_EQUIV_PER_S, 4),
+        "metric": "spai_pcg_iters_per_s",
+        "value": round(pcg_rate, 1),
+        "unit": "preconditioned iterations/s (heat n=15625, fp32+chunk64)",
+        "vs_baseline": round(pcg_rate / REF_PCG_ITERS_PER_S, 4),
         "detail": {
-            "windowed_solve_ms": round(t_w * 1e3, 2),
-            "gather_solve_ms": round(t_g * 1e3, 2),
-            "iters": it_w,
+            "pcg_us_per_iter": round(t_pcg * 1e6, 2),
+            "cg_us_per_iter": round(t_cg * 1e6, 2),
+            "cg_iters_rtol1e6": it,
             "spmv_roofline_frac": round(gbps / bw, 4),
             "n": n,
             "nnz": nnz,
+            "ref_pcg_iters_per_s": round(REF_PCG_ITERS_PER_S, 1),
         },
     }))
 

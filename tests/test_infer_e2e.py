@@ -1,0 +1,68 @@
+"""End-to-end infer CLI: datagen -> train briefly -> benchmark harness.
+
+Exercises the full `python -m tpu_spai.cli.infer` path on CPU, including
+the gsel fast-kernel solve (impl auto-selects 'xla' off-TPU) and the CSV
+schemas the reference's misc/ scripts consume (infer.py:374-384).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tpu_spai.cli import infer as infer_cli
+from tpu_spai.cli import train as train_cli
+from tpu_spai.datagen.synthetic import SyntheticDatagen
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("infer_e2e")
+    prefix = root / "synthetic"
+    SyntheticDatagen(
+        prefix=str(prefix), max_count=8, low=100, high=140,
+        sparsity=2e-2, alpha=1e-3, seed=11,
+    ).generate()
+    out = root / "out"
+    train_cli.main([
+        "exp_name=infer_e2e",
+        f"data.prefix={prefix}",
+        "data.is_fixed_topology=false",
+        "data.has_shared_features=false",
+        "data.use_node_features=false",
+        "trainer.max_epochs=3",
+        "trainer.check_val_every_n_epoch=99",
+        "checkpoint.every_n_epochs=3",
+        "batch_size=4",
+        "gnn_features=8",
+        "gnn.num_mp_layers=2",
+        "check_methods=[none]",
+        f"output_dir={out}",
+    ])
+    return root, prefix, out
+
+
+def test_infer_cli_writes_csvs(trained):
+    root, prefix, out = trained
+    infer_out = root / "infer_out"
+    infer_cli.main([
+        "exp_name=infer_e2e",
+        f"data.prefix={prefix}",
+        "data.is_fixed_topology=false",
+        "data.has_shared_features=false",
+        "data.use_node_features=false",
+        "gnn_features=8",
+        "gnn.num_mp_layers=2",
+        f"pretrained={out}/checkpoints",
+        "check_methods=[none,diagonal]",
+        "max_samples=1",
+        f"out_dir={infer_out}",
+    ])
+    per_sample = infer_out / "all_infer_infer_e2e_6.csv"
+    agg = infer_out / "infer_infer_e2e_6.csv"
+    assert per_sample.exists() and agg.exists()
+    df = pd.read_csv(per_sample)
+    assert "Matrix Size" in df.columns
+    keys = set(df["Key"]) if "Key" in df.columns else set(df.iloc[:, 0])
+    # gsel fast-kernel row must be present (xla impl on CPU)
+    assert any("Neural+TPUw" in str(k) for k in keys), keys
+    assert any("Neural" == str(k) for k in keys), keys

@@ -210,15 +210,16 @@ def main(argv=None):
             dt = (time.perf_counter() - t0) / repeat
             stats.put("Neural+TPU", dt, prec_t, float(res.iters), msize)
 
-            # gather-free windowed Pallas solve (production path; needs a
-            # bandable pattern — RCM-reordered FEM matrices qualify)
-            if bool(cfg.select("use_windowed", True)) and not scaled:
+            # gsel fast-kernel solve (production path, kernels/gsel_pallas;
+            # covers unbandable patterns too — the CSV key stays
+            # "Neural+TPUw" for continuity with earlier result files)
+            if bool(cfg.select("use_windowed", True)):
                 try:
                     from ..dist.partition import rcm_permutation
-                    from ..solver.windowed import (
-                        WindowedSpaiPrec,
-                        build_windowed_graph,
-                        pcg_windowed,
+                    from ..solver import (
+                        GselSpaiPrec,
+                        build_gsel_csr,
+                        pcg_gsel,
                     )
 
                     wperm = rcm_permutation(a_csr)
@@ -226,25 +227,35 @@ def main(argv=None):
                     a_p.sort_indices()
                     l_p = l_csr[wperm][:, wperm].tocsr()
                     l_p.sort_indices()
-                    wa = build_windowed_graph(csr_to_graph(a_p, dtype=np.float32))
-                    wl = build_windowed_graph(
-                        csr_to_graph(l_p, dtype=np.float32), transpose_too=True
-                    )
-                    if wa is not None and wl is not None:
+                    ga_f = build_gsel_csr(a_p)
+                    gl_f = build_gsel_csr(l_p)
+                    gl_t = build_gsel_csr(l_p.T.tocsr())
+                    if ga_f is not None and gl_f is not None and gl_t is not None:
                         b_p = jnp.asarray((a_csr @ r)[wperm], dtype=jnp.float32)
-                        wprec = WindowedSpaiPrec(
-                            wl[0], wl[1], jnp.float32(workspace.epsilon)
+                        inv_d = (
+                            jnp.asarray(1.0 / a_p.diagonal(), jnp.float32)
+                            if scaled
+                            else None
                         )
-                        wres = pcg_windowed(
-                            wa[0], b_p, prec=wprec, rtol=rtol,
-                            max_iter=msize, dot_dtype=jnp.float64,
+                        wprec = GselSpaiPrec(
+                            gl_f, gl_t, jnp.float32(workspace.epsilon),
+                            inv_diag=inv_d,
+                        )
+                        impl = (
+                            "pallas"
+                            if jax.default_backend() == "tpu"
+                            else "xla"
+                        )
+                        wres = pcg_gsel(
+                            ga_f, b_p, prec=wprec, rtol=rtol,
+                            max_iter=msize, dot_dtype="chunk64", impl=impl,
                         )
                         np.asarray(wres.x)
                         t0 = time.perf_counter()
                         for _ in range(repeat):
-                            wres = pcg_windowed(
-                                wa[0], b_p, prec=wprec, rtol=rtol,
-                                max_iter=msize, dot_dtype=jnp.float64,
+                            wres = pcg_gsel(
+                                ga_f, b_p, prec=wprec, rtol=rtol,
+                                max_iter=msize, dot_dtype="chunk64", impl=impl,
                             )
                             np.asarray(wres.x)
                         dtw = (time.perf_counter() - t0) / repeat
@@ -252,7 +263,7 @@ def main(argv=None):
                             "Neural+TPUw", dtw, prec_t, float(wres.iters), msize
                         )
                 except Exception as e:  # noqa: BLE001
-                    log.warning(f"windowed solve skipped: {e}")
+                    log.warning(f"gsel solve skipped: {e}")
 
             if enable_cholmod:
                 t0 = time.perf_counter()
