@@ -1,0 +1,158 @@
+"""Double-single (fp64-grade) gsel SpMV + CG: accuracy vs f64 oracle.
+
+The ds kernel must deliver ~2^-48 relative error per matvec (vs ~2^-24
+f32), letting CG reach rtol=1e-10 TRUE residuals that the f32 path cannot.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from tpu_spai.kernels.gsel import build_gsel, gsel_spmv_ds_xla, gsel_spmv_xla
+from tpu_spai.kernels.gsel_pallas import gsel_spmv_ds_pallas
+from tpu_spai.solver.gsel_solver import (
+    GselSpaiPrecDS,
+    build_gsel_csr,
+    gsel_matvec_ds,
+    pcg_gsel,
+)
+
+
+def _fem(res=7):
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.native import laplacian, lumped_mass
+    from tpu_spai.dist.partition import rcm_permutation
+
+    nodes, elems = unit_box_tet(res, res, res)
+    a = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(lumped_mass(nodes, elems))
+    )
+    perm = rcm_permutation(a)
+    ap = a[perm][:, perm].tocsr()
+    ap.sort_indices()
+    return ap
+
+
+def _split64(x):
+    hi = x.astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray((x - hi.astype(np.float64)).astype(np.float32))
+
+
+def test_ds_spmv_accuracy():
+    a = _fem(6)
+    n = a.shape[0]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n)
+    want = a.astype(np.float64) @ x
+    g = build_gsel(a, double_single=True)
+    xh, xl = _split64(x)
+    scale = np.abs(want).max()
+
+    # XLA reference (computes in real f64)
+    yh, yl = gsel_spmv_ds_xla(g, xh, xl)
+    got = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    assert np.abs(got - want).max() / scale < 1e-14
+
+    # Pallas kernel in interpret mode (the TwoProd/Kahan f32 path)
+    yh, yl = gsel_spmv_ds_pallas(g, xh, xl, interpret=True)
+    got = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    err = np.abs(got - want).max() / scale
+    assert err < 1e-12, err  # ~2^-48 target; f32 path would be ~1e-7
+
+    # plain f32 path for contrast — must be much worse
+    g32 = build_gsel(a)
+    y32 = np.asarray(gsel_spmv_xla(g32, jnp.asarray(x, jnp.float32)))
+    err32 = np.abs(y32 - want).max() / scale
+    assert err32 > 10 * err
+
+
+def test_ds_matvec_roundtrip():
+    a = _fem(5)
+    n = a.shape[0]
+    x = np.random.default_rng(1).standard_normal(n)
+    g = build_gsel_csr(a, double_single=True)
+    y = np.asarray(gsel_matvec_ds(g, jnp.asarray(x), impl="xla"))
+    want = a @ x
+    assert np.abs(y - want).max() / np.abs(want).max() < 1e-14
+
+
+def test_pcg_ds_reaches_tight_tolerance():
+    a = _fem(6)
+    n = a.shape[0]
+    b = a @ np.ones(n)
+    g = build_gsel_csr(a, double_single=True)
+    res = pcg_gsel(
+        g, jnp.asarray(b), rtol=1e-10, max_iter=5000, impl="xla", precision="ds"
+    )
+    assert bool(res.converged)
+    x = np.asarray(res.x).reshape(-1)
+    rel = np.linalg.norm(a @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-9, rel
+
+
+def test_pcg_ds_spai_prec():
+    from tpu_spai.native import fsai
+
+    a = _fem(6)
+    n = a.shape[0]
+    b = a @ np.ones(n)
+    g = build_gsel_csr(a, double_single=True)
+    lhat = sp.csr_matrix(fsai(a).T)
+    gl = build_gsel_csr(lhat, double_single=True)
+    glt = build_gsel_csr(sp.csr_matrix(lhat.T), double_single=True)
+    prec = GselSpaiPrecDS(gl, glt, jnp.float64(3e-3), impl="xla")
+    r0 = pcg_gsel(g, jnp.asarray(b), rtol=1e-10, max_iter=5000, impl="xla",
+                  precision="ds")
+    r1 = pcg_gsel(g, jnp.asarray(b), prec=prec, rtol=1e-10, max_iter=5000,
+                  impl="xla", precision="ds")
+    assert bool(r1.converged)
+    assert int(r1.iters) < int(r0.iters)
+    x = np.asarray(r1.x).reshape(-1)
+    rel = np.linalg.norm(a @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-9, rel
+
+
+def test_ds_pair_arithmetic_unjitted():
+    # the error-free transforms are exact when each op is its own program;
+    # XLA:CPU *fused loops* recompute values per consumer with FP
+    # contraction and break them (~1e-8 plateau) — XLA:TPU does not
+    # (verified on-chip: ds_axpy err 1.5e-14, pair-state CG true relres
+    # 3.8e-9 at rtol=1e-10, 212 us/iter). See kernels/ds.py docstring.
+    import jax
+
+    from tpu_spai.kernels.ds import DS, ds_add, ds_mul, ds_from_f64, ds_to_f64
+
+    rng = np.random.default_rng(0)
+    x64 = rng.standard_normal(512)
+    y64 = rng.standard_normal(512)
+    X = ds_from_f64(jnp.asarray(x64))
+    Y = ds_from_f64(jnp.asarray(y64))
+    al = ds_from_f64(jnp.float64(0.123456789012345))
+    with jax.disable_jit():
+        ab = DS(jnp.broadcast_to(al.hi, X.hi.shape),
+                jnp.broadcast_to(al.lo, X.lo.shape))
+        axp = ds_add(Y, ds_mul(ab, X))
+    got = np.asarray(ds_to_f64(axp))
+    err = np.abs(got - (y64 + 0.123456789012345 * x64)).max()
+    assert err < 1e-13, err
+
+
+def test_pcg_ds_pair_state_unjitted():
+    # algorithmic check of the pair-state CG loop on CPU (un-jitted so
+    # XLA:CPU fusion cannot degrade the pair arithmetic; see above)
+    import jax
+
+    from tpu_spai.solver.gsel_solver import pcg_gsel_ds
+
+    a = _fem(4)
+    n = a.shape[0]
+    b = a @ np.ones(n)
+    g = build_gsel_csr(a, double_single=True)
+    with jax.disable_jit():
+        res = pcg_gsel_ds(g, jnp.asarray(b), rtol=1e-10, max_iter=2000,
+                          impl="xla")
+    assert bool(res.converged)
+    x = np.asarray(res.x).reshape(-1)
+    rel = np.linalg.norm(a @ x - b) / np.linalg.norm(b)
+    assert rel < 1e-9, rel

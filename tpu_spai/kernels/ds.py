@@ -1,0 +1,118 @@
+"""Double-single (ds) pair arithmetic in plain XLA f32.
+
+A ds number is an unevaluated sum hi + lo of two f32 with |lo| <= ulp(hi)/2,
+carrying ~2^-48 relative accuracy. On TPU, real f64 is software-emulated at
+10-30x f32 cost; ds pair ops are a handful of native f32 VPU ops instead —
+the fp64-grade CG loop (solver/gsel_solver.py pcg_gsel_ds) runs its vector
+updates this way.
+
+Error-free transforms: Knuth TwoSum (6 flops), Dekker TwoProd via Veltkamp
+splitting (17 flops). References: Dekker 1971; Hida/Li/Bailey QD library.
+All functions are elementwise over arrays.
+
+PLATFORM CAVEAT (measured): XLA:TPU compiles these faithfully (on-chip:
+ds_axpy error 1.5e-14; pair-state CG reaches true relres 3.8e-9 at
+rtol=1e-10). XLA:CPU's fused vector loops recompute shared values per
+consumer with FP contraction, silently collapsing the transforms to a
+~1e-8 plateau — flags (--xla_allow_excess_precision=false,
+--xla_cpu_enable_fast_math=false) and optimization barriers do NOT stop
+it. On CPU, use real f64 (native there) or run un-jitted; the ds path
+exists to replace 10-30x emulated f64 on TPU only.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DS(NamedTuple):
+    hi: jax.Array
+    lo: jax.Array
+
+
+def two_sum(a, b):
+    s = a + b
+    bv = s - a
+    err = (a - (s - bv)) + (b - bv)
+    return s, err
+
+
+def quick_two_sum(a, b):
+    # requires |a| >= |b|
+    s = a + b
+    return s, b - (s - a)
+
+
+def _split(a):
+    c = a * 4097.0  # Veltkamp split constant for f32 (2^12 + 1)
+    ah = c - (c - a)
+    return ah, a - ah
+
+
+def two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def ds_from_f64(x64) -> DS:
+    hi = x64.astype(jnp.float32)
+    return DS(hi, (x64 - hi.astype(jnp.float64)).astype(jnp.float32))
+
+
+def ds_to_f64(x: DS):
+    return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+
+
+def ds_add(x: DS, y: DS) -> DS:
+    s, e = two_sum(x.hi, y.hi)
+    e = e + x.lo + y.lo
+    hi, lo = quick_two_sum(s, e)
+    return DS(hi, lo)
+
+
+def ds_neg(x: DS) -> DS:
+    return DS(-x.hi, -x.lo)
+
+def ds_sub(x: DS, y: DS) -> DS:
+    return ds_add(x, ds_neg(y))
+
+
+def ds_mul(x: DS, y: DS) -> DS:
+    p, e = two_prod(x.hi, y.hi)
+    e = e + x.hi * y.lo + x.lo * y.hi
+    hi, lo = quick_two_sum(p, e)
+    return DS(hi, lo)
+
+
+def ds_scale(a: DS, x: DS) -> DS:
+    """a * x with a a (broadcastable) ds scalar."""
+    return ds_mul(DS(jnp.broadcast_to(a.hi, x.hi.shape),
+                     jnp.broadcast_to(a.lo, x.lo.shape)), x)
+
+
+def ds_axpy(a: DS, x: DS, y: DS) -> DS:
+    """y + a*x elementwise (the CG update primitive)."""
+    return ds_add(y, ds_mul(DS(jnp.broadcast_to(a.hi, x.hi.shape),
+                               jnp.broadcast_to(a.lo, x.lo.shape)), x))
+
+
+def ds_dot(x: DS, y: DS):
+    """<x, y> -> f64 scalar: TwoProd per element, f32 partial sums within
+    128-lane chunks, exact f64 combination of partials (+ error channel)."""
+    p, e = two_prod(x.hi.ravel(), y.hi.ravel())
+    e = e + x.hi.ravel() * y.lo.ravel() + x.lo.ravel() * y.hi.ravel()
+    pad = (-p.shape[0]) % 128
+    if pad:
+        p = jnp.pad(p, (0, pad))
+        e = jnp.pad(e, (0, pad))
+    ph = jnp.sum(p.reshape(-1, 128), axis=1).astype(jnp.float64)
+    # per-chunk f32 rounding of the head sums is the dominant residual
+    # error (~128 * 2^-24 per chunk, exactly recombined in f64)
+    eh = jnp.sum(e.reshape(-1, 128), axis=1).astype(jnp.float64)
+    return jnp.sum(ph) + jnp.sum(eh)

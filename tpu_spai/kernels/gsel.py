@@ -67,6 +67,7 @@ class GselPlanes:
     lidx: jax.Array
     vals: jax.Array
     group_base: jax.Array
+    vals_lo: Optional[jax.Array] = None  # f32 tail planes (double-single)
     n_rows: int = _static(default=0)  # valid rows (pre-padding)
     n_cols: int = _static(default=0)  # x length
     tile: int = _static(default=LANE)
@@ -89,12 +90,17 @@ def build_gsel(
     group: int = 16,
     max_q: int = LANE,
     dtype=np.float32,
+    double_single: bool = False,
 ) -> Optional[GselPlanes]:
     """Build gsel planes from a scipy-sparse-convertible matrix.
 
     Returns None when some tile group's column window exceeds ``max_q``
     128-chunks (caller falls back to another path). The matrix should be
     RCM-reordered first unless n <= max_q*128.
+
+    ``double_single=True`` adds f32 tail planes ``vals_lo`` (vals stays the
+    f32 head): vals + vals_lo represent the f64 entries to ~2^-48 — the
+    storage for the double-single fp64-grade SpMV (gsel_spmv_ds_*).
     """
     import scipy.sparse as sp
 
@@ -102,7 +108,14 @@ def build_gsel(
     a.sort_indices()
     n_rows, n_cols = a.shape
     coo = a.tocoo()
-    row, col, val = coo.row, coo.col, coo.data.astype(dtype)
+    row, col = coo.row, coo.col
+    if double_single:
+        v64 = coo.data.astype(np.float64)
+        val = v64.astype(np.float32)
+        val_lo = (v64 - val.astype(np.float64)).astype(np.float32)
+    else:
+        val = coo.data.astype(dtype)
+        val_lo = None
     n_tiles = max(1, -(-n_rows // tile))
     n_steps = -(-n_tiles // group)
     n_tiles_pad = n_steps * group
@@ -158,13 +171,30 @@ def build_gsel(
     lidx[t_o, slot_k, r_o] = lane[order]
     vals[t_o, slot_k, r_o] = val[order]
     qmap[t_o, slot_k] = q_o  # single chunk per (tile, k) by construction
+    vals_lo = None
+    if val_lo is not None:
+        vals_lo = np.zeros((n_tiles_pad, kprime, tile), np.float32)
+        vals_lo[t_o, slot_k, r_o] = val_lo[order]
 
     onehot = (qmap[:, :, None] == np.arange(qg)[None, None, :]).astype(np.int8)
     gk = group * kprime
+
+    def kmajor(arr):
+        # [S*G, K', ...] -> [S, K'*G, ...] with slot row = k*G + g, so the
+        # kernels can address per-k [G, T] slices of a (1, K', G, T) block
+        # with a dynamic (traced) k — K' is an untiled batch dim there.
+        rest = arr.shape[2:]
+        return np.ascontiguousarray(
+            arr.reshape(n_steps, group, kprime, *rest).transpose(
+                0, 2, 1, *range(3, 3 + len(rest))
+            )
+        ).reshape(n_steps, gk, *rest)
+
     return GselPlanes(
-        onehot=jnp.asarray(onehot.reshape(n_steps, gk, qg)),
-        lidx=jnp.asarray(lidx.reshape(n_steps, gk, tile)),
-        vals=jnp.asarray(vals.reshape(n_steps, gk, tile)),
+        onehot=jnp.asarray(kmajor(onehot)),
+        lidx=jnp.asarray(kmajor(lidx)),
+        vals=jnp.asarray(kmajor(vals)),
+        vals_lo=None if vals_lo is None else jnp.asarray(kmajor(vals_lo)),
         group_base=jnp.asarray(gbase.astype(np.int32)),
         n_rows=n_rows,
         n_cols=n_cols,
@@ -200,10 +230,43 @@ def gsel_spmv_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
             oh.astype(g.vals.dtype), xw, precision=jax.lax.Precision.HIGHEST
         )  # [GK, 128]
         gv = jnp.take_along_axis(op, li, axis=1)  # [GK, T]
-        y = jnp.sum((v * gv).reshape(grp, kp, t), axis=1)  # [G, T]
+        y = jnp.sum((v * gv).reshape(kp, grp, t), axis=0)  # [G, T]
         return carry, y
 
     _, ys = jax.lax.scan(
         step_body, None, (g.onehot, g.lidx, g.vals, g.group_base)
     )
     return ys.reshape(-1)[: g.n_rows].astype(x.dtype)
+
+
+def gsel_spmv_ds_xla(g: GselPlanes, x_hi: jax.Array, x_lo: jax.Array):
+    """Reference double-single SpMV (CPU/tests): computes the product in
+    real f64 over the same slot grid and splits the result into an f32
+    (hi, lo) pair — the quantity `gsel_spmv_ds_pallas` approximates to
+    ~2^-48 relative error."""
+    assert g.vals_lo is not None
+    qg = g.q_chunks
+    grp, kp, t = g.group, g.k_width, g.tile
+    n_chunks = -(-g.n_cols // LANE) + qg
+    x64 = jnp.zeros((n_chunks * LANE,), jnp.float64)
+    x64 = x64.at[: g.n_cols].set(
+        x_hi.reshape(-1).astype(jnp.float64) + x_lo.reshape(-1).astype(jnp.float64)
+    )
+    xc = x64.reshape(n_chunks, LANE)
+
+    def step_body(carry, inp):
+        oh, li, vh, vl, base = inp
+        xw = jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE))
+        op = jnp.dot(oh.astype(jnp.float64), xw)
+        gv = jnp.take_along_axis(op, li, axis=1)
+        v64 = vh.astype(jnp.float64) + vl.astype(jnp.float64)
+        y = jnp.sum((v64 * gv).reshape(kp, grp, t), axis=0)
+        return carry, y
+
+    _, ys = jax.lax.scan(
+        step_body, None, (g.onehot, g.lidx, g.vals, g.vals_lo, g.group_base)
+    )
+    y64 = ys.reshape(-1)[: g.n_rows]
+    y_hi = y64.astype(jnp.float32)
+    y_lo = (y64 - y_hi.astype(jnp.float64)).astype(jnp.float32)
+    return y_hi, y_lo

@@ -1,17 +1,24 @@
-"""Pallas TPU kernel for the gsel (hardware dynamic-gather) SpMV.
+"""Pallas TPU kernels for the gsel (hardware dynamic-gather) SpMV.
 
 See `gsel.py` for the scheme. Each grid step processes one group of G row
-tiles with exactly three dense ops — per-op overhead amortized over the
-whole group:
+tiles with three dense ops — per-op overhead amortized over the group:
 
     op = onehot @ x_window            # [GK',Qg]@[Qg,128] chunk select, MXU
                                       # (exact: one-hot rows copy f32 lanes)
     g  = take_along_axis(op, lidx, 1) # tpu.dynamic_gather, ~66 G elem/s
-    y  = (vals*g).reshape(G,K',T).sum(1)   # VPU multiply + sublane reduce
+    y  = (vals*g).reshape(K',G,T).sum(0)   # VPU multiply + sublane reduce
 
 x is fully VMEM-resident in chunked [n_chunks, 128] form (a 1 M-row
 vector is ~0.5 MB — sparse-solver sizes never pressure VMEM); the
-grouped-ELL planes stream through the grid pipeline.
+grouped-ELL planes stream through the grid pipeline. Slot rows are
+k-major (row = k*G + g) so per-k [G, T] slices are addressable.
+
+`gsel_spmv_ds_pallas` is the double-single (fp64-grade) variant: values
+and x are (hi, lo) f32 pairs; per-slot products use a Veltkamp/Dekker
+TwoProd and the K'-deep row reduction is a Kahan-compensated loop, so the
+result carries ~2^-48 relative error at f32 kernel speed — TPUs emulate
+real f64 at 10-30x cost, this costs ~3x. Replaces the reference's fp64
+CUDA solves (neural_cg/utils/validate.py:27) for tight-tolerance sweeps.
 
 Replaces the reference's CUDA SpMV inside pymathprim's CG
 (neural_cg/utils/validate.py:54-121) as the production TPU matvec.
@@ -29,22 +36,34 @@ from jax.experimental.pallas import tpu as pltpu
 from .gsel import LANE, GselPlanes, _chunked_x
 
 
+def _plane_specs(gk: int, qg: int, t: int):
+    return [
+        pl.BlockSpec((1, gk, qg), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _chunk_select_gather(base, oh, xc_ref, l_idx, qg):
+    """op = onehot @ x_window (MXU, exact) ; g = lane-gather(op, lidx)."""
+    xw = xc_ref[pl.ds(base, qg), :]  # [Qg, 128]
+    op = jax.lax.dot_general(
+        oh,
+        xw,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [GK', 128]
+    return jnp.take_along_axis(op, l_idx, axis=1)  # hw lane gather
+
+
 def _kernel(group: int, qg: int, kp: int, tile: int):
     def kernel(base_ref, oh_ref, l_ref, v_ref, x_ref, out_ref):
         s = pl.program_id(0)
-        base = base_ref[s]
-        xw = x_ref[pl.ds(base, qg), :]  # [Qg, 128]
-        oh = oh_ref[...].astype(jnp.float32)  # [GK', Qg]
-        op = jax.lax.dot_general(
-            oh,
-            xw,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [GK', 128] — exact lane copies
-        gv = jnp.take_along_axis(op, l_ref[...], axis=1)  # hw lane gather
-        prod = (v_ref[...] * gv).reshape(group, kp, tile)
-        out_ref[...] = jnp.sum(prod, axis=1)  # [G, T]
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', Qg]
+        gv = _chunk_select_gather(base_ref[s], oh, x_ref, l_ref[0], qg)
+        prod = (v_ref[0] * gv).reshape(kp, group, tile)
+        out_ref[0] = jnp.sum(prod, axis=0)  # [G, T]
 
     return kernel
 
@@ -64,41 +83,129 @@ def gsel_spmv_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, gk, qg), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x chunks, resident
-        ],
+        in_specs=_plane_specs(gk, qg, t)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],  # x chunks, resident
         out_specs=pl.BlockSpec(
             (1, grp, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
         ),
     )
-
-    def squeeze_kernel(base_ref, oh_ref, l_ref, v_ref, x_ref, out_ref):
-        inner = _kernel(grp, qg, kp, t)
-        inner(
-            base_ref,
-            oh_ref.at[0],
-            l_ref.at[0],
-            v_ref.at[0],
-            x_ref,
-            out_ref.at[0],
-        )
-
     # the kernel is pure 32-bit; trace with x64 disabled so index-map
     # constants stay i32 (Mosaic cannot legalize i64)
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            squeeze_kernel,
+            _kernel(grp, qg, kp, t),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_steps, grp, t), jnp.float32),
             interpret=interpret,
         )(g.group_base, g.onehot, g.lidx, g.vals, xc)
     return out.reshape(-1)[: g.n_rows].astype(x.dtype)
+
+
+def _split(a):
+    """Veltkamp split: a = ah + al with 12-bit halves (f32, exact)."""
+    c = a * 4097.0
+    ah = c - (c - a)
+    return ah, a - ah
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd: a*b = p + err exactly (f32)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _ds_kernel(group: int, qg: int, kp: int, tile: int):
+    def kernel(
+        base_ref, oh_ref, l_ref, vh_ref, vl_ref, xh_ref, xl_ref,
+        outh_ref, outl_ref, gh_ref, gl_ref,
+    ):
+        s = pl.program_id(0)
+        base = base_ref[s]
+        oh = oh_ref[0].astype(jnp.float32)
+        l_idx = l_ref[0]
+        # phase 1 (vectorized): gather hi/lo x per slot into VMEM scratch
+        gh_ref[...] = _chunk_select_gather(base, oh, xh_ref, l_idx, qg).reshape(
+            kp, group, tile
+        )
+        gl_ref[...] = _chunk_select_gather(base, oh, xl_ref, l_idx, qg).reshape(
+            kp, group, tile
+        )
+
+        # phase 2: Kahan-compensated reduction over K' with TwoProd terms
+        zeros = jnp.zeros((group, tile), jnp.float32)
+
+        def body(k, carry):
+            s_acc, c_acc, lo_acc = carry
+            # slot rows are k-major (row = k*G + g): slice the k-th [G, T]
+            vh = vh_ref[0, pl.ds(k * group, group)]
+            vl = vl_ref[0, pl.ds(k * group, group)]
+            gh = gh_ref[k]
+            gl = gl_ref[k]
+            p, err = _two_prod(vh, gh)
+            lo_t = err + vh * gl + vl * gh
+            # TwoSum(s_acc, p)
+            t_new = s_acc + p
+            bv = t_new - s_acc
+            c_acc = c_acc + ((s_acc - (t_new - bv)) + (p - bv))
+            return t_new, c_acc, lo_acc + lo_t
+
+        s_acc, c_acc, lo_acc = jax.lax.fori_loop(
+            0, kp, body, (zeros, zeros, zeros)
+        )
+        lo = c_acc + lo_acc
+        hi = s_acc + lo  # renormalize the pair
+        outh_ref[0] = hi
+        outl_ref[0] = lo - (hi - s_acc)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def gsel_spmv_ds_pallas(
+    g: GselPlanes,
+    x_hi: jax.Array,  # [n_cols] f32
+    x_lo: jax.Array,  # [n_cols] f32
+    interpret: bool = False,
+):
+    """Double-single SpMV: (A_hi+A_lo)(x_hi+x_lo) -> (y_hi, y_lo) with
+    ~2^-48 relative error. Requires planes built with double_single=True."""
+    assert g.vals_lo is not None, "build planes with double_single=True"
+    kp, t, qg, grp = g.k_width, g.tile, g.q_chunks, g.group
+    gk = grp * kp
+    n_steps = g.n_steps
+    xch = _chunked_x(g, x_hi)
+    xcl = _chunked_x(g, x_lo)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=_plane_specs(gk, qg, t)
+        + [
+            pl.BlockSpec((1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x hi chunks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x lo chunks
+        ],
+        out_specs=[
+            pl.BlockSpec((1, grp, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, grp, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kp, grp, t), jnp.float32),
+            pltpu.VMEM((kp, grp, t), jnp.float32),
+        ],
+    )
+    with jax.enable_x64(False):
+        yh, yl = pl.pallas_call(
+            _ds_kernel(grp, qg, kp, t),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_steps, grp, t), jnp.float32),
+                jax.ShapeDtypeStruct((n_steps, grp, t), jnp.float32),
+            ],
+            interpret=interpret,
+        )(g.group_base, g.onehot, g.lidx, g.vals, g.vals_lo, xch, xcl)
+    nr = g.n_rows
+    return yh.reshape(-1)[:nr], yl.reshape(-1)[:nr]

@@ -9,7 +9,13 @@ in fp64 / fp32 / mixed precision, plus host reference preconditioners
 """
 
 from .cg import CGResult, pcg, pcg_trace
-from .gsel_solver import GselSpaiPrec, build_gsel_csr, pcg_gsel
+from .gsel_solver import (
+    GselSpaiPrec,
+    GselSpaiPrecDS,
+    build_gsel_csr,
+    pcg_gsel,
+    pcg_gsel_ds,
+)
 from .preconditioners import (
     identity_prec,
     jacobi_prec,
@@ -24,8 +30,10 @@ __all__ = [
     "pcg",
     "pcg_trace",
     "GselSpaiPrec",
+    "GselSpaiPrecDS",
     "build_gsel_csr",
     "pcg_gsel",
+    "pcg_gsel_ds",
     "identity_prec",
     "jacobi_prec",
     "spai_prec",

@@ -26,8 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels.gsel import GselPlanes, build_gsel, gsel_spmv_xla
-from ..kernels.gsel_pallas import gsel_spmv_pallas
+from ..kernels.gsel import (
+    GselPlanes,
+    build_gsel,
+    gsel_spmv_ds_xla,
+    gsel_spmv_xla,
+)
+from ..kernels.gsel_pallas import gsel_spmv_ds_pallas, gsel_spmv_pallas
 from .cg import CGResult
 
 # scoped-VMEM budget for one grid step's input blocks. The v5e scoped
@@ -42,14 +47,18 @@ def build_gsel_csr(
     tile: int = 128,
     max_q: int = 128,
     group: int = 64,
+    double_single: bool = False,
 ) -> Optional[GselPlanes]:
     """CSR -> gsel planes, shrinking `group` until a grid step's blocks fit
     the scoped-VMEM budget. Returns None if unbandable within max_q."""
     import scipy.sparse as sp
 
     a = sp.csr_matrix(a)
+    if double_single:
+        group = max(1, group // 2)  # ds kernel carries ~2x VMEM (lo planes)
     while group >= 1:
-        g = build_gsel(a, tile=tile, group=group, max_q=max_q)
+        g = build_gsel(a, tile=tile, group=group, max_q=max_q,
+                       double_single=double_single)
         if g is None:
             # group window exceeded max_q chunks: fewer tiles per group
             # narrow the union window; at group == 1 the pattern is truly
@@ -70,6 +79,18 @@ def gsel_matvec(g: GselPlanes, x: jax.Array, impl: str = "pallas") -> jax.Array:
     if impl == "pallas":
         return gsel_spmv_pallas(g, x)
     return gsel_spmv_xla(g, x)
+
+
+def gsel_matvec_ds(g: GselPlanes, x64: jax.Array, impl: str = "pallas"):
+    """fp64-grade matvec: split the f64 carrier into an f32 (hi, lo) pair,
+    run the double-single kernel, recombine in f64. ~2^-48 relative error
+    at ~3x f32 kernel cost (real emulated f64 costs 10-30x on TPU)."""
+    xf = x64.reshape(-1)
+    x_hi = xf.astype(jnp.float32)
+    x_lo = (xf - x_hi.astype(jnp.float64)).astype(jnp.float32)
+    fn = gsel_spmv_ds_pallas if impl == "pallas" else gsel_spmv_ds_xla
+    y_hi, y_lo = fn(g, x_hi, x_lo)
+    return y_hi.astype(jnp.float64) + y_lo.astype(jnp.float64)
 
 
 @jax.tree_util.register_dataclass
@@ -98,15 +119,22 @@ class GselSpaiPrec:
 
 @dataclasses.dataclass(frozen=True)
 class _GselMatvec:
-    """Hashable matvec for pcg's static `matvec` argument. ``carrier64``
-    keeps CG vectors fp64 while the SpMV runs f32 (mixed-precision
-    refinement; see solver/windowed.py docstring)."""
+    """Hashable matvec for pcg's static `matvec` argument.
+
+    mode 'f32': storage-precision SpMV. 'carrier64': f64 CG vectors, f32
+    SpMV (mixed-precision refinement). 'ds': f64 CG vectors, double-single
+    SpMV — full fp64-grade solves for the rtol<=1e-8 sweeps at ~3x f32
+    kernel cost (the reference runs these in CUDA fp64, validate.py:27)."""
 
     impl: str
-    carrier64: bool = False
+    mode: str = "f32"
 
     def __call__(self, g, v):
-        if self.carrier64:
+        if self.mode == "ds":
+            return gsel_matvec_ds(g, v.astype(jnp.float64), self.impl).reshape(
+                v.shape
+            )
+        if self.mode == "carrier64":
             y = gsel_matvec(g, v.astype(jnp.float32).reshape(-1), self.impl)
             return y.astype(jnp.float64).reshape(v.shape)
         return gsel_matvec(g, v.reshape(-1), self.impl).reshape(v.shape)
@@ -121,6 +149,29 @@ class _Mixed64Prec:
         return self.inner(r.astype(jnp.float32)).astype(jnp.float64)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GselSpaiPrecDS:
+    """fp64-grade SPAI apply over double-single factor planes."""
+
+    l_fwd: GselPlanes
+    l_t: GselPlanes
+    epsilon: jax.Array
+    inv_diag: Optional[jax.Array] = None
+    impl: str = field(metadata=dict(static=True), default="pallas")
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        rf = r.astype(jnp.float64).reshape(-1)
+        lt_r = gsel_matvec_ds(self.l_t, rf, self.impl)
+        eps_r = self.epsilon.astype(jnp.float64) * rf
+        if self.inv_diag is not None:
+            d = self.inv_diag.astype(jnp.float64)
+            lt_r = lt_r * d
+            eps_r = eps_r * d
+        y = gsel_matvec_ds(self.l_fwd, lt_r, self.impl) + eps_r
+        return y.reshape(r.shape)
+
+
 def pcg_gsel(
     g_a: GselPlanes,
     b: jax.Array,
@@ -130,18 +181,31 @@ def pcg_gsel(
     dot_dtype=None,
     impl: str = "pallas",
     mixed: bool = False,
+    precision: str = "f32",
 ) -> CGResult:
     """PCG where A and the preconditioner are gsel operators; the whole
-    solve compiles to a single while_loop program."""
+    solve compiles to a single while_loop program.
+
+    precision='ds' runs the fp64-grade double-single path (f64 carrier
+    vectors + TwoProd/Kahan SpMV); requires double_single planes."""
     from .cg import pcg
 
     n = g_a.n_rows
     bvec = b.reshape(n, -1)
-    if isinstance(prec, GselSpaiPrec) and prec.impl != impl:
+    if isinstance(prec, (GselSpaiPrec, GselSpaiPrecDS)) and prec.impl != impl:
         prec = dataclasses.replace(prec, impl=impl)
-    if mixed:
+    mode = "f32"
+    if precision == "ds":
+        assert g_a.vals_lo is not None, "build with double_single=True"
         bvec = bvec.astype(jnp.float64)
         dot_dtype = jnp.float64
+        mode = "ds"
+        if isinstance(prec, GselSpaiPrec):
+            prec = _Mixed64Prec(prec)
+    elif mixed:
+        bvec = bvec.astype(jnp.float64)
+        dot_dtype = jnp.float64
+        mode = "carrier64"
         if prec is not None:
             prec = _Mixed64Prec(prec)
     return pcg(
@@ -151,6 +215,102 @@ def pcg_gsel(
         rtol=rtol,
         max_iter=max_iter,
         dot_dtype=dot_dtype,
-        matvec=_GselMatvec(impl, carrier64=mixed),
+        matvec=_GselMatvec(impl, mode=mode),
         _shape_override=(n, bvec.shape[1]),
     )
+
+
+def pcg_gsel_ds(
+    g_a: GselPlanes,
+    b: jax.Array,  # [n] f64 (or any dtype, upcast)
+    prec=None,  # GselSpaiPrecDS or None
+    rtol: float = 1e-10,
+    max_iter: int = 1000,
+    impl: str = "pallas",
+) -> CGResult:
+    """fp64-grade PCG with double-single PAIR state: vectors are (hi, lo)
+    f32 pairs, updates use error-free-transform arithmetic (kernels/ds.py),
+    the SpMV is the ds gsel kernel, and dots combine f32 chunk partials in
+    f64. Everything per iteration runs native f32 VPU/MXU ops — no
+    emulated-f64 vector arithmetic (10-30x slower on TPU). Replaces the
+    reference's fp64 CUDA solves (validate.py:27) for rtol <= 1e-8 sweeps.
+    """
+    from functools import partial as _partial
+
+    from ..kernels.ds import (
+        DS,
+        ds_axpy,
+        ds_dot,
+        ds_from_f64,
+        ds_scale,
+        ds_sub,
+        ds_add,
+        two_prod,
+    )
+    from ..kernels.gsel import gsel_spmv_ds_xla
+    from ..kernels.gsel_pallas import gsel_spmv_ds_pallas
+
+    if isinstance(prec, (GselSpaiPrec, GselSpaiPrecDS)) and prec.impl != impl:
+        prec = dataclasses.replace(prec, impl=impl)
+    spmv = gsel_spmv_ds_pallas if impl == "pallas" else gsel_spmv_ds_xla
+
+    def mv(gp, v: "DS") -> "DS":
+        yh, yl = spmv(gp, v.hi, v.lo)
+        return DS(yh, yl)
+
+    def papply(r: "DS") -> "DS":
+        if prec is None:
+            return r
+        lt = mv(prec.l_t, r)
+        eps = ds_from_f64(jnp.asarray(prec.epsilon, jnp.float64))
+        eps_r = ds_scale(eps, r)
+        if prec.inv_diag is not None:
+            d = DS(prec.inv_diag.astype(jnp.float32),
+                   jnp.zeros_like(prec.inv_diag, dtype=jnp.float32))
+            lt = DS(lt.hi * d.hi, lt.lo * d.hi)  # d is f32-exact
+            eps_r = DS(eps_r.hi * d.hi, eps_r.lo * d.hi)
+        return ds_add(mv(prec.l_fwd, lt), eps_r)
+
+    @_partial(jax.jit, static_argnames=())
+    def run(g_a, b64, rtol_s, max_it):
+        bds = ds_from_f64(b64)
+        n = b64.shape[0]
+        zero = DS(jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+        x = zero
+        r = bds
+        s = papply(r)
+        delta = ds_dot(r, s)
+        bnorm2 = ds_dot(bds, bds)
+        tol2 = (rtol_s * rtol_s) * jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny)
+        rnorm2 = ds_dot(r, r)
+
+        def cond(st):
+            *_, rn2, it = st
+            return jnp.logical_and(rn2 > tol2, it < max_it)
+
+        def body(st):
+            x, r, d, delta, _, it = st
+            q = mv(g_a, d)
+            dq = ds_dot(d, q)
+            alpha = ds_from_f64(delta / dq)
+            nalpha = DS(-alpha.hi, -alpha.lo)
+            x = ds_axpy(alpha, d, x)
+            r = ds_axpy(nalpha, q, r)
+            s = papply(r)
+            delta_new = ds_dot(r, s)
+            beta = ds_from_f64(delta_new / delta)
+            d = ds_add(s, ds_scale(beta, d))
+            rn2 = ds_dot(r, r)
+            return x, r, d, delta_new, rn2, it + 1
+
+        st = (x, r, s, delta, rnorm2, jnp.int32(0))
+        x, r, _, _, rn2, iters = jax.lax.while_loop(cond, body, st)
+        relres = jnp.sqrt(rn2 / jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny))
+        x64 = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+        return x64, iters, relres, rn2 <= tol2
+
+    b64 = b.reshape(-1).astype(jnp.float64)
+    x64, iters, relres, conv = run(
+        g_a, b64, jnp.float64(rtol), jnp.int32(max_iter)
+    )
+    return CGResult(x=x64, iters=iters, relres=relres, converged=conv)
