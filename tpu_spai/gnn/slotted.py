@@ -1,0 +1,444 @@
+"""Slot-layout GNN inference: TPU-native preconditioner construction.
+
+The flax path (gnn/layers.py) expresses message passing as per-edge row
+gathers + segment_sum — XLA lowers both to scalar-core loops on TPU
+(measured 10.3 ms for a 4-layer/16-wide forward at n=15.6k, E=189k vs
+0.19 ms for the reference GPU, misc/tab_to_latex_benchmark.py). This
+module reruns the SAME trained parameters over the gsel slot grid
+(kernels/gsel.py) where every op is TPU-native:
+
+  * x_j (source-node) features: hardware dynamic-gather per feature plane
+    (kernels/gsel_pallas.py machinery) — no scalar gathers;
+  * x_i (destination) features: the tile's own rows — a reshape;
+  * message aggregation: masked sum over the K' sublane axis — free, the
+    scatter disappears entirely (slots of a row share a lane);
+  * MLPs: channel-axis einsum contractions on plane tensors [S,C,GK',T];
+  * edge states are kept for BOTH orientations of every slot, so the
+    decoder emits the factor values for Â and Âᵀ on the SAME slot grid —
+    the SPAI preconditioner planes are `replace(pattern_planes, vals=...)`
+    with zero device-side permutation (the pattern is symmetric).
+
+Replaces the reference's torch_geometric inference path
+(neural_cg/nn/gnns.py:77-97) for the timed preconditioner-construction
+benchmark; training keeps the differentiable flax path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.gsel import LANE, GselPlanes, build_gsel
+
+
+def _static(**kw):
+    return field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SlotGraph:
+    """Slot-grid view of a symmetric-pattern sparse graph.
+
+    pattern: GselPlanes of the (symmetric) sparsity; `vals` holds the
+      matrix entries (usable directly as the A-operator for the solve).
+    mask:  f32 [S, GK', T] — 1 on real slots, 0 on padding.
+    perm / perm_rev: int32 [S, GK', T] — original edge index of the slot's
+      edge / of its reversed edge (by construction of a symmetric pattern
+      both exist); arbitrary on padding slots.
+    """
+
+    pattern: GselPlanes
+    mask: jax.Array
+    perm: jax.Array
+    perm_rev: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.pattern.n_rows
+
+
+def build_slot_graph(rows, cols, values, n: int) -> Optional[SlotGraph]:
+    """Build the slot grid from directed edge lists (symmetric pattern).
+
+    `rows/cols/values`: the graph's directed edges in *storage order* (the
+    order edge features and GNN outputs use). Pattern must be symmetric —
+    every (r, c) has a (c, r) — which holds for all problem families
+    (SPD matrices)."""
+    import scipy.sparse as sp
+
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    e = len(rows)
+    ids = np.arange(1, e + 1, dtype=np.float64)  # 0 reserved for padding
+    a_ids = sp.csr_matrix((ids, (rows, cols)), shape=(n, n))
+    at_ids = sp.csr_matrix((ids, (cols, rows)), shape=(n, n))
+    a_val = sp.csr_matrix(
+        (np.asarray(values, np.float64).reshape(-1), (rows, cols)), shape=(n, n)
+    )
+    # identical pattern => identical slot assignment across the three builds
+    g_ids = build_gsel(a_ids)
+    if g_ids is None:
+        return None
+    g_idt = build_gsel(at_ids)
+    g_val = build_gsel(a_val)
+    ids_s = np.asarray(g_ids.vals)
+    mask = (ids_s > 0).astype(np.float32)
+    perm = np.maximum(ids_s.astype(np.int64) - 1, 0).astype(np.int32)
+    perm_rev = np.maximum(
+        np.asarray(g_idt.vals).astype(np.int64) - 1, 0
+    ).astype(np.int32)
+    return SlotGraph(
+        pattern=g_val,
+        mask=jnp.asarray(mask),
+        perm=jnp.asarray(perm),
+        perm_rev=jnp.asarray(perm_rev),
+    )
+
+
+def slot_scatter(sg: SlotGraph, edge_arr, reverse: bool = False) -> jax.Array:
+    """[E, C] edge array -> [S, C, GK', T] plane tensor (device take —
+    one-time per forward, feature dim is tiny)."""
+    arr = jnp.asarray(edge_arr)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    perm = sg.perm_rev if reverse else sg.perm
+    out = jnp.take(arr, perm.reshape(-1), axis=0)  # [S*GK'*T, C]
+    s, gk, t = perm.shape
+    out = out.reshape(s, gk, t, -1).transpose(0, 3, 1, 2)
+    return out * sg.mask[:, None, :, :]
+
+
+def slot_gather_edges(sg: SlotGraph, planes: jax.Array) -> jax.Array:
+    """[S, C, GK', T] plane tensor -> [E, C] edge array (inverse of
+    slot_scatter; used to hand slot outputs back to edge-ordered code)."""
+    s, c, gk, t = planes.shape
+    flat = planes.transpose(0, 2, 3, 1).reshape(-1, c)
+    e_total = int(jnp.max(sg.perm)) + 1 if sg.perm.size else 0
+    out = jnp.zeros((e_total, c), planes.dtype)
+    sel = sg.mask.reshape(-1) > 0
+    # padding slots carry perm 0 too: send them out of range (dropped)
+    idx = jnp.where(sel, sg.perm.reshape(-1), e_total)
+    return out.at[idx].set(flat, mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# feature gather: x [n, F] -> [S, F, GK', T] (x_j per slot)
+
+
+def gather_feats_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
+    """Reference implementation (CPU/tests)."""
+    nf = x.shape[1]
+    qg = g.q_chunks
+    n_chunks = -(-g.n_cols // LANE) + qg
+    xt = jnp.zeros((nf, n_chunks * LANE), jnp.float32)
+    xt = xt.at[:, : g.n_cols].set(x.T.astype(jnp.float32))
+    xc = xt.reshape(nf, n_chunks, LANE)
+
+    def step(carry, inp):
+        oh, li, base = inp
+        xw = jax.lax.dynamic_slice(
+            xc, (jnp.int32(0), base, jnp.int32(0)), (nf, qg, LANE)
+        )
+        op = jnp.einsum(
+            "kq,fqc->fkc",
+            oh.astype(jnp.float32),
+            xw,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        gv = jnp.take_along_axis(
+            op, jnp.broadcast_to(li[None], (nf,) + li.shape), axis=2
+        )
+        return carry, gv
+
+    _, out = jax.lax.scan(step, None, (g.onehot, g.lidx, g.group_base))
+    return out  # [S, F, GK', T]
+
+
+def _gather_kernel(nf: int, qg: int, gk: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(base_ref, oh_ref, l_ref, x_ref, out_ref):
+        s = pl.program_id(0)
+        base = base_ref[s]
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', Qg]
+        li = l_ref[0]  # [GK', T]
+        xw = x_ref[:, pl.ds(base, qg), :]  # [F, Qg, 128]
+        oh_b = jnp.broadcast_to(oh[None], (nf,) + oh.shape)
+        op = jax.lax.dot_general(
+            oh_b,
+            xw,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [F, GK', 128] — one batched MXU chunk select
+        op2 = op.reshape(nf * gk, LANE)
+        li2 = jnp.broadcast_to(li[None], (nf,) + li.shape).reshape(nf * gk, LANE)
+        gv = jnp.take_along_axis(op2, li2, axis=1)  # one hw gather
+        out_ref[0] = gv.reshape(nf, gk, LANE)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def gather_feats_pallas(
+    g: GselPlanes, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """x [n, F] -> gathered x_j planes [S, F, GK', T] via hw lane gather."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf = x.shape[1]
+    kp, t, qg, grp = g.k_width, g.tile, g.q_chunks, g.group
+    gk = grp * kp
+    n_steps = g.n_steps
+    n_chunks = -(-g.n_cols // LANE) + qg
+    xt = jnp.zeros((nf, n_chunks * LANE), jnp.float32)
+    xt = xt.at[:, : g.n_cols].set(x.T.astype(jnp.float32))
+    xc = xt.reshape(nf, n_chunks, LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, gk, qg), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x planes, resident
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nf, gk, t), lambda s, *_: (s, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _gather_kernel(nf, qg, gk),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_steps, nf, gk, t), jnp.float32),
+            interpret=interpret,
+        )(g.group_base, g.onehot, g.lidx, xc)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# plane-layout parameter application (reuses the flax parameter tree)
+
+
+def _norm_params(p: dict):
+    """The flax tree nests the pre-norm as _Norm_0/{LayerNorm,RMSNorm}_0."""
+    sub = p.get("_Norm_0", {})
+    if "LayerNorm_0" in sub:
+        return "layer", sub["LayerNorm_0"]
+    if "RMSNorm_0" in sub:
+        return "rms", sub["RMSNorm_0"]
+    return "none", None
+
+
+def _ffn_planes_parts(p: dict, parts) -> jax.Array:
+    """FeedForward whose first Dense consumes concat(parts, axis=1) —
+    computed part-by-part so the [S, sum(C), GK', T] concat (hundreds of
+    MB of HBM traffic at production sizes) is never materialized.
+
+    Parts may carry a lazy broadcast over the K' axis (x_i, the
+    destination features, are k-independent): each part is contracted in
+    whatever compact shape it has, and only the [S, H, GK', T] result is
+    full-size. The pre-norm is commuted past the contraction — per-slot
+    statistics (mu, rsigma) are scalars along the channel axis, so
+      norm(concat) @ W = rs * (concat @ (scale*W)) - (rs*mu) * (scale@W)
+                         + bias_n @ W + bias_0
+    which needs only elementwise full-size work after the compact
+    contractions. `parts` entries are (tensor, expand) with expand mapping
+    the contracted result to full [S, H, GK', T] (identity for full-size
+    parts, lazy broadcast for x_i)."""
+    kind, np_ = _norm_params(p)
+    denses = sorted(
+        (k for k in p if k.startswith("Dense_")), key=lambda k: int(k[6:])
+    )
+    k0 = p[denses[0]]["kernel"]
+    b0 = p[denses[0]]["bias"]
+    c_tot = k0.shape[0]
+    sizes = [q.shape[1] for q, _ in parts]
+    offs = np.cumsum([0] + sizes)
+
+    out = None
+    s1 = s2 = None
+    for (q, expand), o, c in zip(parts, offs[:-1], sizes):
+        w = k0[o : o + c]  # [c, H]
+        if kind != "none":
+            w = w * np_["scale"][o : o + c][:, None]
+            p1 = expand(jnp.sum(q, axis=1, keepdims=True))
+            p2 = expand(jnp.sum(jnp.square(q), axis=1, keepdims=True))
+            s1 = p1 if s1 is None else s1 + p1
+            s2 = p2 if s2 is None else s2 + p2
+        term = expand(jnp.einsum("sckt,ch->shkt", q, w))
+        out = term if out is None else out + term
+    if kind != "none":
+        mu = s1 / c_tot
+        rs = (
+            jax.lax.rsqrt(s2 / c_tot - jnp.square(mu) + 1e-6)
+            if kind == "layer"
+            else jax.lax.rsqrt(s2 / c_tot + 1e-6)
+        )
+        sw = jnp.einsum(
+            "c,ch->h", np_["scale"], k0
+        )  # scale-weighted column sums
+        out = rs * out - (rs * mu) * sw[None, :, None, None]
+        if kind == "layer":
+            out = out + jnp.einsum("c,ch->h", np_["bias"], k0)[
+                None, :, None, None
+            ]
+    x = jax.nn.gelu(out + b0[None, :, None, None])
+    for i, k in enumerate(denses[1:]):
+        x = jnp.einsum("sckt,ch->shkt", x, p[k]["kernel"]) + p[k]["bias"][
+            None, :, None, None
+        ]
+        if i < len(denses) - 2:
+            x = jax.nn.gelu(x)
+    return x
+
+
+def _ffn_planes(p: dict, x: jax.Array) -> jax.Array:
+    """FeedForward (gnn/layers.py:66-90) on plane tensors [S, C, GK', T]
+    with channels on axis 1, reading the flax param tree verbatim."""
+    kind, np_ = _norm_params(p)
+    if kind == "layer":
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True)
+        xn = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        x = xn * np_["scale"][None, :, None, None] + np_["bias"][
+            None, :, None, None
+        ]
+    elif kind == "rms":
+        ms = jnp.mean(jnp.square(x), axis=1, keepdims=True)
+        x = x * jax.lax.rsqrt(ms + 1e-6)
+        x = x * np_["scale"][None, :, None, None]
+    denses = sorted(
+        (k for k in p if k.startswith("Dense_")), key=lambda k: int(k[6:])
+    )
+    for i, k in enumerate(denses):
+        kern = p[k]["kernel"]
+        x = jnp.einsum("sckt,ch->shkt", x, kern) + p[k]["bias"][
+            None, :, None, None
+        ]
+        if i < len(denses) - 1:
+            x = jax.nn.gelu(x)
+    return x
+
+
+def _ffn_nodes(p: dict, x: jax.Array) -> jax.Array:
+    """FeedForward on node tensors [n, C] (channels last)."""
+    kind, np_ = _norm_params(p)
+    if kind == "layer":
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        x = x * np_["scale"] + np_["bias"]
+    elif kind == "rms":
+        x = x * jax.lax.rsqrt(jnp.mean(jnp.square(x), -1, keepdims=True) + 1e-6)
+        x = x * np_["scale"]
+    denses = sorted(
+        (k for k in p if k.startswith("Dense_")), key=lambda k: int(k[6:])
+    )
+    for i, k in enumerate(denses):
+        x = x @ p[k]["kernel"] + p[k]["bias"]
+        if i < len(denses) - 1:
+            x = jax.nn.gelu(x)
+    return x
+
+
+@partial(
+    jax.jit,
+    static_argnames=("node_residual", "edge_residual", "impl", "interpret"),
+)
+def slotted_gnn_forward(
+    params,
+    sg: SlotGraph,
+    node_feats: jax.Array,  # [n, Fn]
+    e_fwd: jax.Array,  # [S, Fe, GK', T] (slot_scatter of edge features)
+    e_rev: jax.Array,  # same, reversed orientation
+    node_residual: bool = True,
+    edge_residual: bool = True,
+    impl: str = "pallas",
+    interpret: bool = False,
+):
+    """NodeEdgeProcessing forward (gnns.py:77-97) over the slot grid.
+
+    Returns (vals_fwd, vals_rev): [S, GK', T] factor values for Â and Âᵀ
+    on the pattern's slot grid — drop them into `replace(pattern,
+    vals=...)` to get the SPAI operator planes."""
+    p = params["params"] if "params" in params else params
+    g = sg.pattern
+    s_, gk, t = sg.mask.shape
+    grp = g.group
+    kp = g.k_width
+    n = g.n_rows
+    mask = sg.mask[:, None, :, :]
+
+    gather = (
+        (lambda xx: gather_feats_pallas(g, xx, interpret=interpret))
+        if impl == "pallas"
+        else (lambda xx: gather_feats_xla(g, xx))
+    )
+
+    x = _ffn_nodes(p["node_enc"], node_feats)  # [n, F]
+    ef = _ffn_planes(p["edge_enc"], e_fwd) * mask
+    er = _ffn_planes(p["edge_enc"], e_rev) * mask
+
+    def tile_compact(xn):
+        # [n, F] -> [S, F, G, T] destination features (k-independent)
+        nf = xn.shape[1]
+        npad = s_ * grp * t
+        xp = jnp.zeros((npad, nf), jnp.float32).at[:n].set(xn)
+        return xp.reshape(s_, grp, t, nf).transpose(0, 3, 1, 2)
+
+    def expand_k(z):
+        # lazy broadcast [S, H, G, T] -> [S, H, GK', T] (k-major slot rows)
+        h = z.shape[1]
+        return jnp.broadcast_to(
+            z[:, :, None, :, :], (s_, h, kp, grp, t)
+        ).reshape(s_, h, gk, t)
+
+    ident = lambda z: z  # noqa: E731
+
+    for key in sorted(k for k in p if k.startswith("mp_")):
+        lp = p[key]
+        xj = gather(x)  # [S, F, GK', T]
+        xi = tile_compact(x)  # [S, F, G, T], broadcast over K' stays lazy
+        msg = _ffn_planes_parts(
+            lp["msg_mlp"], ((xi, expand_k), (xj, ident), (ef, ident))
+        ) * mask
+        # aggregation: sum over K' (slots of a row share a lane) — the
+        # segment_sum is a sublane reduction, no scatter
+        agg = jnp.sum(msg.reshape(s_, -1, kp, grp, t), axis=2)  # [S,F,G,T]
+        agg_n = agg.transpose(0, 2, 3, 1).reshape(-1, agg.shape[1])[:n]
+        node_new = _ffn_nodes(lp["node_mlp"], agg_n)
+        x = x + node_new if node_residual else node_new
+        e_new_f = _ffn_planes_parts(
+            lp["edge_mlp"], ((xi, expand_k), (xj, ident), (ef, ident))
+        )
+        ef = (ef + e_new_f if edge_residual else e_new_f) * mask
+        e_new_r = _ffn_planes_parts(
+            lp["edge_mlp"], ((xj, ident), (xi, expand_k), (er, ident))
+        )
+        er = (er + e_new_r if edge_residual else e_new_r) * mask
+
+    xj = gather(x)
+    xi = tile_compact(x)
+    dec_f = _ffn_planes_parts(
+        p["edge_dec"], ((ef, ident), (xi, expand_k), (xj, ident))
+    )
+    dec_r = _ffn_planes_parts(
+        p["edge_dec"], ((er, ident), (xj, ident), (xi, expand_k))
+    )
+    vals_fwd = dec_f[:, 0] * sg.mask
+    vals_rev = dec_r[:, 0] * sg.mask
+    return x, vals_fwd, vals_rev
