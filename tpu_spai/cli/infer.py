@@ -222,14 +222,16 @@ def main(argv=None):
                         pcg_gsel,
                     )
 
+                    dev_prec = str(cfg.select("device_precision", "f32"))
                     wperm = rcm_permutation(a_csr)
                     a_p = a_csr[wperm][:, wperm].tocsr()
                     a_p.sort_indices()
                     l_p = l_csr[wperm][:, wperm].tocsr()
                     l_p.sort_indices()
-                    ga_f = build_gsel_csr(a_p)
-                    gl_f = build_gsel_csr(l_p)
-                    gl_t = build_gsel_csr(l_p.T.tocsr())
+                    ds = dev_prec == "ds"
+                    ga_f = build_gsel_csr(a_p, double_single=ds)
+                    gl_f = build_gsel_csr(l_p, double_single=ds)
+                    gl_t = build_gsel_csr(l_p.T.tocsr(), double_single=ds)
                     if ga_f is not None and gl_f is not None and gl_t is not None:
                         b_p = jnp.asarray((a_csr @ r)[wperm], dtype=jnp.float32)
                         inv_d = (
@@ -237,31 +239,124 @@ def main(argv=None):
                             if scaled
                             else None
                         )
-                        wprec = GselSpaiPrec(
-                            gl_f, gl_t, jnp.float32(workspace.epsilon),
-                            inv_diag=inv_d,
-                        )
+                        if ds:
+                            from ..solver import GselSpaiPrecDS
+
+                            wprec = GselSpaiPrecDS(
+                                gl_f, gl_t, jnp.float64(workspace.epsilon),
+                                inv_diag=inv_d,
+                            )
+                        else:
+                            wprec = GselSpaiPrec(
+                                gl_f, gl_t, jnp.float32(workspace.epsilon),
+                                inv_diag=inv_d,
+                            )
                         impl = (
                             "pallas"
                             if jax.default_backend() == "tpu"
                             else "xla"
                         )
-                        wres = pcg_gsel(
-                            ga_f, b_p, prec=wprec, rtol=rtol,
-                            max_iter=msize, dot_dtype="chunk64", impl=impl,
-                        )
+                        kw = dict(rtol=rtol, max_iter=msize, impl=impl)
+                        if ds:
+                            kw["precision"] = "ds"
+                        else:
+                            kw["dot_dtype"] = "chunk64"
+                        wres = pcg_gsel(ga_f, b_p, prec=wprec, **kw)
                         np.asarray(wres.x)
                         t0 = time.perf_counter()
                         for _ in range(repeat):
-                            wres = pcg_gsel(
-                                ga_f, b_p, prec=wprec, rtol=rtol,
-                                max_iter=msize, dot_dtype="chunk64", impl=impl,
-                            )
+                            wres = pcg_gsel(ga_f, b_p, prec=wprec, **kw)
                             np.asarray(wres.x)
                         dtw = (time.perf_counter() - t0) / repeat
                         stats.put(
                             "Neural+TPUw", dtw, prec_t, float(wres.iters), msize
                         )
+
+                    # fully on-device path: slot-layout GNN construction +
+                    # SPAI planes with zero host assembly (simple ws, b=1)
+                    if workspace.name == "simple" and batch.block_size == 1:
+                        import dataclasses as _dc
+
+                        from ..gnn.slotted import (
+                            build_slot_graph,
+                            slot_scatter,
+                            slotted_gnn_forward,
+                        )
+
+                        pos = np.empty_like(wperm)
+                        pos[wperm] = np.arange(len(wperm))
+                        ei_v = ei[:, :e_valid]
+                        av = np.asarray(batch.graph.blocks)[:e_valid].reshape(-1)
+                        sg = build_slot_graph(
+                            pos[ei_v[0]], pos[ei_v[1]], av, msize
+                        )
+                        if sg is not None:
+                            m = np.asarray(batch.mask)[:n_valid].reshape(-1)
+                            scale_e = m[ei_v[0]] * m[ei_v[1]]
+                            add_e = np.where(
+                                ei_v[0] == ei_v[1], 1.0 - m[ei_v[0]], 0.0
+                            )
+                            sc = slot_scatter(sg, scale_e.astype(np.float32))
+                            ad = slot_scatter(sg, add_e.astype(np.float32))
+                            sc_r = slot_scatter(
+                                sg, scale_e.astype(np.float32), reverse=True
+                            )
+                            ad_r = slot_scatter(
+                                sg, add_e.astype(np.float32), reverse=True
+                            )
+                            xp = jnp.asarray(
+                                np.asarray(batch.x)[:n_valid][wperm],
+                                jnp.float32,
+                            )
+                            ea_v = np.asarray(batch.edge_attr)[:e_valid]
+                            e_fwd = slot_scatter(sg, ea_v)
+                            e_rev = slot_scatter(sg, ea_v, reverse=True)
+
+                            def construct():
+                                _, vf, vr = slotted_gnn_forward(
+                                    params, sg, xp, e_fwd, e_rev, impl=impl
+                                )
+                                return (
+                                    vf * sc[:, 0] + ad[:, 0],
+                                    vr * sc_r[:, 0] + ad_r[:, 0],
+                                )
+
+                            vf, vr = construct()
+                            vf.block_until_ready()
+                            t0 = time.perf_counter()
+                            for _ in range(repeat):
+                                vf, vr = construct()
+                                vf.block_until_ready()
+                            prec_slot = (time.perf_counter() - t0) / repeat
+                            lpl = _dc.replace(sg.pattern, vals=vf)
+                            ltp = _dc.replace(sg.pattern, vals=vr)
+                            sprec = GselSpaiPrec(
+                                lpl, ltp, jnp.float32(workspace.epsilon)
+                            )
+                            # Dirichlet-mask the A operator too (the host
+                            # path benchmarks the masked system)
+                            apl = _dc.replace(
+                                sg.pattern,
+                                vals=sg.pattern.vals * sc[:, 0] + ad[:, 0],
+                            )
+                            sres = pcg_gsel(
+                                apl, b_p, prec=sprec, rtol=rtol,
+                                max_iter=msize, dot_dtype="chunk64", impl=impl,
+                            )
+                            np.asarray(sres.x)
+                            t0 = time.perf_counter()
+                            for _ in range(repeat):
+                                sres = pcg_gsel(
+                                    apl, b_p, prec=sprec, rtol=rtol,
+                                    max_iter=msize, dot_dtype="chunk64",
+                                    impl=impl,
+                                )
+                                np.asarray(sres.x)
+                            dts = (time.perf_counter() - t0) / repeat
+                            stats.put(
+                                "NeuralSlot+TPU", dts, prec_slot,
+                                float(sres.iters), msize,
+                            )
                 except Exception as e:  # noqa: BLE001
                     log.warning(f"gsel solve skipped: {e}")
 

@@ -64,7 +64,9 @@ class SlotGraph:
         return self.pattern.n_rows
 
 
-def build_slot_graph(rows, cols, values, n: int) -> Optional[SlotGraph]:
+def build_slot_graph(
+    rows, cols, values, n: int, group: int = 16
+) -> Optional[SlotGraph]:
     """Build the slot grid from directed edge lists (symmetric pattern).
 
     `rows/cols/values`: the graph's directed edges in *storage order* (the
@@ -82,12 +84,28 @@ def build_slot_graph(rows, cols, values, n: int) -> Optional[SlotGraph]:
     a_val = sp.csr_matrix(
         (np.asarray(values, np.float64).reshape(-1), (rows, cols)), shape=(n, n)
     )
-    # identical pattern => identical slot assignment across the three builds
-    g_ids = build_gsel(a_ids)
+    # identical pattern => identical slot assignment across the three builds;
+    # shrink the tile group until a grid step's blocks fit scoped VMEM
+    # (mirrors solver.gsel_solver.build_gsel_csr)
+    g_ids = None
+    while group >= 1:
+        g_ids = build_gsel(a_ids, group=group)
+        if g_ids is None:
+            if group == 1:
+                return None
+            group //= 2
+            continue
+        gk = g_ids.group * g_ids.k_width
+        step_bytes = gk * g_ids.q_chunks + 2 * gk * g_ids.tile * 4
+        if step_bytes <= int(2.5 * 2**20) or group == 1:
+            break
+        group = max(1, group // 2)
+        g_ids = None
     if g_ids is None:
         return None
-    g_idt = build_gsel(at_ids)
-    g_val = build_gsel(a_val)
+    group = g_ids.group
+    g_idt = build_gsel(at_ids, group=group)
+    g_val = build_gsel(a_val, group=group)
     ids_s = np.asarray(g_ids.vals)
     mask = (ids_s > 0).astype(np.float32)
     perm = np.maximum(ids_s.astype(np.int64) - 1, 0).astype(np.int32)
