@@ -16,10 +16,14 @@ the row-partitioned solver IS the model-parallel axis of this workload.
 
 from .partition import PartitionedSystem, partition_system
 from .cg import dist_pcg, dist_spmv_reference
+from .gsel_dist import PartitionedGsel, dist_pcg_gsel, partition_gsel
 
 __all__ = [
     "PartitionedSystem",
     "partition_system",
     "dist_pcg",
     "dist_spmv_reference",
+    "PartitionedGsel",
+    "partition_gsel",
+    "dist_pcg_gsel",
 ]
