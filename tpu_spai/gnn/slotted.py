@@ -375,7 +375,9 @@ def _ffn_nodes(p: dict, x: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("node_residual", "edge_residual", "impl", "interpret"),
+    static_argnames=(
+        "node_residual", "edge_residual", "impl", "interpret", "plane_dtype"
+    ),
 )
 def slotted_gnn_forward(
     params,
@@ -387,6 +389,7 @@ def slotted_gnn_forward(
     edge_residual: bool = True,
     impl: str = "pallas",
     interpret: bool = False,
+    plane_dtype=None,  # jnp.bfloat16 halves the HBM-bound plane traffic
 ):
     """NodeEdgeProcessing forward (gnns.py:77-97) over the slot grid.
 
@@ -407,9 +410,11 @@ def slotted_gnn_forward(
         else (lambda xx: gather_feats_xla(g, xx))
     )
 
+    pd = plane_dtype or jnp.float32
+    mask = mask.astype(pd)
     x = _ffn_nodes(p["node_enc"], node_feats)  # [n, F]
-    ef = _ffn_planes(p["edge_enc"], e_fwd) * mask
-    er = _ffn_planes(p["edge_enc"], e_rev) * mask
+    ef = (_ffn_planes(p["edge_enc"], e_fwd.astype(pd)) * mask).astype(pd)
+    er = (_ffn_planes(p["edge_enc"], e_rev.astype(pd)) * mask).astype(pd)
 
     def tile_compact(xn):
         # [n, F] -> [S, F, G, T] destination features (k-independent)
@@ -429,8 +434,8 @@ def slotted_gnn_forward(
 
     for key in sorted(k for k in p if k.startswith("mp_")):
         lp = p[key]
-        xj = gather(x)  # [S, F, GK', T]
-        xi = tile_compact(x)  # [S, F, G, T], broadcast over K' stays lazy
+        xj = gather(x).astype(pd)  # [S, F, GK', T]
+        xi = tile_compact(x).astype(pd)  # [S,F,G,T]; K'-broadcast stays lazy
         msg = _ffn_planes_parts(
             lp["msg_mlp"], ((xi, expand_k), (xj, ident), (ef, ident))
         ) * mask
@@ -442,21 +447,21 @@ def slotted_gnn_forward(
         x = x + node_new if node_residual else node_new
         e_new_f = _ffn_planes_parts(
             lp["edge_mlp"], ((xi, expand_k), (xj, ident), (ef, ident))
-        )
+        ).astype(pd)
         ef = (ef + e_new_f if edge_residual else e_new_f) * mask
         e_new_r = _ffn_planes_parts(
             lp["edge_mlp"], ((xj, ident), (xi, expand_k), (er, ident))
-        )
+        ).astype(pd)
         er = (er + e_new_r if edge_residual else e_new_r) * mask
 
-    xj = gather(x)
-    xi = tile_compact(x)
+    xj = gather(x).astype(pd)
+    xi = tile_compact(x).astype(pd)
     dec_f = _ffn_planes_parts(
         p["edge_dec"], ((ef, ident), (xi, expand_k), (xj, ident))
     )
     dec_r = _ffn_planes_parts(
         p["edge_dec"], ((er, ident), (xj, ident), (xi, expand_k))
     )
-    vals_fwd = dec_f[:, 0] * sg.mask
-    vals_rev = dec_r[:, 0] * sg.mask
+    vals_fwd = dec_f[:, 0].astype(jnp.float32) * sg.mask
+    vals_rev = dec_r[:, 0].astype(jnp.float32) * sg.mask
     return x, vals_fwd, vals_rev
