@@ -104,3 +104,30 @@ def test_slotted_forward_parity(pre_norm):
     rev_of = np.empty(len(rows), dtype=np.int64)
     rev_of[order_f] = np.arange(len(rows))[order_r]
     np.testing.assert_allclose(got_rev, got_edges[rev_of], atol=2e-4)
+
+
+@pytest.mark.parametrize("pre_norm", ["none", "layer"])
+def test_fused_forward_parity(pre_norm):
+    # fused Pallas MP kernel (interpret mode) vs the XLA slotted path
+    ap, rows, cols, vals, nf, ef = _graph()
+    n = ap.shape[0]
+    mlp = {"pre_norm": pre_norm}
+    gnn = NodeEdgeProcessing(
+        edge_out_features=1, num_mp_layers=2,
+        node_mlp=mlp, edge_mlp=mlp, msg_mlp=mlp,
+    )
+    ei = jnp.asarray(np.stack([rows, cols]).astype(np.int32))
+    params = gnn.init(jax.random.key(0), jnp.asarray(nf), ei, jnp.asarray(ef))
+    node_ref, edge_ref = gnn.apply(params, jnp.asarray(nf), ei, jnp.asarray(ef))
+
+    sg = build_slot_graph(rows, cols, vals, n)
+    e_fwd = slot_scatter(sg, ef)
+    e_rev = slot_scatter(sg, ef, reverse=True)
+    x, vf, vr = slotted_gnn_forward(
+        params, sg, jnp.asarray(nf), e_fwd, e_rev, impl="fused_interpret"
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(node_ref), atol=2e-4)
+    got_edges = np.asarray(slot_gather_edges(sg, vf[:, None]))[:, 0]
+    np.testing.assert_allclose(
+        got_edges, np.asarray(edge_ref)[:, 0], atol=2e-4
+    )

@@ -290,6 +290,16 @@ def main(argv=None):
                         sg = build_slot_graph(
                             pos[ei_v[0]], pos[ei_v[1]], av, msize
                         )
+                        if sg is not None and impl == "pallas":
+                            # the fused MP kernel needs a VMEM-safe group
+                            from ..gnn.slotted import fused_safe_group
+
+                            gsafe = fused_safe_group(sg.pattern.k_width)
+                            if sg.pattern.group > gsafe:
+                                sg = build_slot_graph(
+                                    pos[ei_v[0]], pos[ei_v[1]], av, msize,
+                                    group=gsafe,
+                                )
                         if sg is not None:
                             m = np.asarray(batch.mask)[:n_valid].reshape(-1)
                             scale_e = m[ei_v[0]] * m[ei_v[1]]
@@ -312,9 +322,14 @@ def main(argv=None):
                             e_fwd = slot_scatter(sg, ea_v)
                             e_rev = slot_scatter(sg, ea_v, reverse=True)
 
+                            gnn_impl = (
+                                "fused" if impl == "pallas" else impl
+                            )
+
                             def construct():
                                 _, vf, vr = slotted_gnn_forward(
-                                    params, sg, xp, e_fwd, e_rev, impl=impl
+                                    params, sg, xp, e_fwd, e_rev,
+                                    impl=gnn_impl,
                                 )
                                 return (
                                     vf * sc[:, 0] + ad[:, 0],

@@ -64,6 +64,12 @@ class SlotGraph:
         return self.pattern.n_rows
 
 
+def fused_safe_group(k_width: int) -> int:
+    """Largest tile group whose fused-MP working set fits scoped VMEM
+    (~16 live [16, G*K'*128] f32 tensors <= ~12 MB)."""
+    return max(1, 19968 // (k_width * 128))
+
+
 def build_slot_graph(
     rows, cols, values, n: int, group: int = 16
 ) -> Optional[SlotGraph]:
@@ -406,7 +412,7 @@ def slotted_gnn_forward(
 
     gather = (
         (lambda xx: gather_feats_pallas(g, xx, interpret=interpret))
-        if impl == "pallas"
+        if impl in ("pallas", "fused")
         else (lambda xx: gather_feats_xla(g, xx))
     )
 
@@ -431,6 +437,37 @@ def slotted_gnn_forward(
         ).reshape(s_, h, gk, t)
 
     ident = lambda z: z  # noqa: E731
+
+    if impl in ("fused", "fused_interpret"):
+        # fused Pallas MP rounds: gnn/slotted_fused.py keeps one tile
+        # group's planes VMEM-resident per grid step
+        from .slotted_fused import fold_dec_ffn, fold_ffn, fused_mp_layer
+
+        interp = impl == "fused_interpret" or interpret
+        nf_ch = x.shape[1]
+        ce_ch = ef.shape[1]
+        ef_p = ef.astype(jnp.float32)
+        er_p = er.astype(jnp.float32)
+        for key in sorted(k for k in p if k.startswith("mp_")):
+            lp = p[key]
+            m_ffn, m_norm = fold_ffn(lp["msg_mlp"])
+            e_ffn, e_norm = fold_ffn(lp["edge_mlp"])
+            agg_n, ef_p, er_p = fused_mp_layer(
+                g, sg.mask, x, ef_p, er_p, m_ffn, e_ffn,
+                msg_norm=m_norm, edge_norm=e_norm,
+                edge_residual=edge_residual, interpret=interp,
+            )
+            node_new = _ffn_nodes(lp["node_mlp"], agg_n)
+            x = x + node_new if node_residual else node_new
+        d_ffn, d_norm = fold_dec_ffn(p["edge_dec"], ce_ch, nf_ch)
+        _, dec_f, dec_r = fused_mp_layer(
+            g, sg.mask, x, ef_p, er_p, d_ffn, d_ffn,
+            msg_norm=d_norm, edge_norm=d_norm,
+            edge_residual=False, interpret=interp,
+        )
+        vals_fwd = dec_f[:, 0] * sg.mask
+        vals_rev = dec_r[:, 0] * sg.mask
+        return x, vals_fwd, vals_rev
 
     for key in sorted(k for k in p if k.startswith("mp_")):
         lp = p[key]

@@ -1,0 +1,282 @@
+"""Fused Pallas message-passing layer: the whole MP round in one kernel.
+
+The XLA slotted path (gnn/slotted.py) spends ~4.5 ms of its 5.1 ms
+forward on HBM round trips between einsums — every Dense / norm / mask /
+residual materializes [S, C, GK', T] plane tensors. This kernel keeps one
+tile-group's planes VMEM-resident for the entire MP round:
+
+  per grid step (G row tiles):
+    gj   = lane-gather of ALL node-feature planes      (1 dot + 1 take)
+    msg  = msg_mlp([x_i | x_j | e_f])   } first Dense computed per part
+    e_f' = e_f + edge_mlp([x_i|x_j|e_f])} (norm commuted past the matmul,
+    e_r' = e_r + edge_mlp([x_j|x_i|e_r])}  scale/bias folded into weights)
+    agg  = sum_k msg                     (sublane reduce — the "scatter")
+
+HBM traffic per layer: read e_f/e_r + write e_f'/e_r'/agg + plane indices
+— everything else lives in VMEM. Matmuls run at DEFAULT (bf16 MXU)
+precision like the XLA path. The node MLP, residual x update and the
+tiny per-node tensors stay in XLA ([n, 16] — negligible). Weight folding
+happens host-side in `fold_ffn`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..kernels.gsel import LANE, GselPlanes
+
+
+class FoldedFFN(NamedTuple):
+    """FeedForward weights with the pre-norm folded into Dense_0.
+
+    w0 rows are scaled by the norm scale; `sw` and `bconst` carry the
+    -mu*rs*sum(scale*W) and bias@W + b0 terms of the commuted norm
+    (see gnn/slotted.py _ffn_planes_parts). Column vectors are [H, 1] so
+    they broadcast against [H, M] inside the kernel.
+    """
+
+    w0: jax.Array  # [Cin_total, H] (scale-folded when has_norm)
+    bconst: jax.Array  # [H, 1]
+    sw: jax.Array  # [H, 1]
+    w1: jax.Array  # [H, H]   Dense_1
+    b1: jax.Array  # [H, 1]
+    w2: jax.Array  # [H, Cout] Dense_2
+    b2: jax.Array  # [Cout, 1]
+
+
+def fold_ffn(p: dict):
+    """Returns (FoldedFFN, has_norm) — has_norm stays a static python
+    bool (it selects kernel code paths)."""
+    from .slotted import _norm_params
+
+    kind, np_ = _norm_params(p)
+    assert kind in ("none", "layer"), "fused kernel supports none/layer norm"
+    denses = sorted(
+        (k for k in p if k.startswith("Dense_")), key=lambda k: int(k[6:])
+    )
+    assert len(denses) == 3, "fused kernel assumes the 2-layer FFN (3 denses)"
+    k0 = jnp.asarray(p[denses[0]]["kernel"], jnp.float32)
+    b0 = jnp.asarray(p[denses[0]]["bias"], jnp.float32)
+    if kind == "layer":
+        scale = jnp.asarray(np_["scale"], jnp.float32)
+        bias = jnp.asarray(np_["bias"], jnp.float32)
+        w0 = k0 * scale[:, None]
+        sw = jnp.einsum("c,ch->h", scale, k0)
+        bconst = jnp.einsum("c,ch->h", bias, k0) + b0
+    else:
+        w0 = k0
+        sw = jnp.zeros((k0.shape[1],), jnp.float32)
+        bconst = b0
+    return (
+        FoldedFFN(
+            w0=w0,
+            bconst=bconst[:, None],
+            sw=sw[:, None],
+            w1=jnp.asarray(p[denses[1]]["kernel"], jnp.float32),
+            b1=jnp.asarray(p[denses[1]]["bias"], jnp.float32)[:, None],
+            w2=jnp.asarray(p[denses[2]]["kernel"], jnp.float32),
+            b2=jnp.asarray(p[denses[2]]["bias"], jnp.float32)[:, None],
+        ),
+        kind == "layer",
+    )
+
+
+def _dotT(w, q):
+    """[C, H]^T @ [C, M] -> [H, M] (contract dim 0)."""
+    return jax.lax.dot_general(
+        w, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ffn_apply(w, parts, c_sizes, has_norm):
+    """w: dict of weight VALUES; parts: [C_i, M] f32 -> [Cout, M]."""
+    c_tot = sum(c_sizes)
+    offs = np.cumsum([0] + list(c_sizes))
+    out = None
+    for q, o, c in zip(parts, offs[:-1], c_sizes):
+        term = _dotT(w["w0"][o : o + c], q)
+        out = term if out is None else out + term
+    if has_norm:
+        s1 = sum(jnp.sum(q, axis=0) for q in parts)  # [M]
+        s2 = sum(jnp.sum(q * q, axis=0) for q in parts)
+        mu = s1 / c_tot
+        rs = jax.lax.rsqrt(s2 / c_tot - mu * mu + 1e-6)
+        out = rs[None, :] * out - (rs * mu)[None, :] * w["sw"]
+    x = jax.nn.gelu(out + w["bconst"])
+    x = jax.nn.gelu(_dotT(w["w1"], x) + w["b1"])
+    return _dotT(w["w2"], x) + w["b2"]
+
+
+_W_FIELDS = ("w0", "bconst", "sw", "w1", "b1", "w2", "b2")
+
+
+def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
+               edge_residual, emit_edges):
+    m = gk * t
+    mc = grp * t
+    nw = len(_W_FIELDS)
+
+    def kernel(base_ref, oh_ref, l_ref, mask_ref, xi_ref, ef_ref, er_ref,
+               x_ref, *rest):
+        wrefs = rest[: 2 * nw]
+        outs = rest[2 * nw :]
+        agg_ref = outs[0]
+        msg_w = {k: wrefs[i][...] for i, k in enumerate(_W_FIELDS)}
+        edge_w = {k: wrefs[nw + i][...] for i, k in enumerate(_W_FIELDS)}
+
+        s = pl.program_id(0)
+        base = base_ref[s]
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', Qg]
+        li = l_ref[0]
+        xw = x_ref[:, pl.ds(base, qg), :]  # [F, Qg, 128]
+        oh_b = jnp.broadcast_to(oh[None], (nf,) + oh.shape)
+        op = jax.lax.dot_general(
+            oh_b, xw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        li2 = jnp.broadcast_to(li[None], (nf,) + li.shape).reshape(
+            nf * gk, LANE
+        )
+        gj = jnp.take_along_axis(op.reshape(nf * gk, LANE), li2, axis=1)
+        gj = gj.reshape(nf, m)  # [F, M] (k-major slots x lanes)
+
+        # x_i: [F, G, T] -> broadcast over K' -> [F, M]
+        xi_c = xi_ref[0].reshape(nf, 1, mc)
+        xi = jnp.broadcast_to(xi_c, (nf, kp, mc)).reshape(nf, m)
+
+        ef = ef_ref[0].reshape(ce, m)
+        mask = mask_ref[0].reshape(1, m)
+
+        msg = _ffn_apply(msg_w, (xi, gj, ef), (nf, nf, ce), msg_norm_flag)
+        msg = msg * mask
+        h = msg.shape[0]
+        agg_ref[0] = jnp.sum(msg.reshape(h, kp, mc), axis=1).reshape(
+            h, grp, t
+        )
+
+        if emit_edges:
+            er = er_ref[0].reshape(ce, m)
+            enf = _ffn_apply(edge_w, (xi, gj, ef), (nf, nf, ce),
+                             edge_norm_flag)
+            enr = _ffn_apply(edge_w, (gj, xi, er), (nf, nf, ce),
+                             edge_norm_flag)
+            if edge_residual:
+                enf = ef + enf
+                enr = er + enr
+            co = enf.shape[0]
+            outs[1][0] = (enf * mask).reshape(co, gk, t)
+            outs[2][0] = (enr * mask).reshape(co, gk, t)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "msg_norm", "edge_norm", "edge_residual", "emit_edges", "interpret"
+    ),
+)
+def fused_mp_layer(
+    g: GselPlanes,
+    mask: jax.Array,  # [S, GK', T] f32
+    x: jax.Array,  # [n, F] node features
+    ef: jax.Array,  # [S, Ce, GK', T]
+    er: jax.Array,
+    msg_ffn: FoldedFFN,
+    edge_ffn: FoldedFFN,
+    msg_norm: bool = True,
+    edge_norm: bool = True,
+    edge_residual: bool = True,
+    emit_edges: bool = True,
+    interpret: bool = False,
+):
+    """One MP round (or, with emit_edges=False and the decoder FFN as
+    `msg_ffn`, a masked per-slot FFN+reduce). Returns
+    (agg [n, H], ef' [S,Co,GK',T], er')."""
+    nf = x.shape[1]
+    ce = ef.shape[1]
+    kp, t, qg, grp = g.k_width, g.tile, g.q_chunks, g.group
+    gk = grp * kp
+    n_steps = g.n_steps
+    n = g.n_rows
+    n_chunks = -(-g.n_cols // LANE) + qg
+    xt = jnp.zeros((nf, n_chunks * LANE), jnp.float32)
+    xt = xt.at[:, : g.n_cols].set(x.T.astype(jnp.float32))
+    xc = xt.reshape(nf, n_chunks, LANE)
+    npad = n_steps * grp * t
+    xp = jnp.zeros((npad, nf), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    xi = xp.reshape(n_steps, grp, t, nf).transpose(0, 3, 1, 2)
+
+    h = msg_ffn.b2.shape[0]
+    co = edge_ffn.b2.shape[0]
+
+    def blk(c):
+        nd = len(c)
+        return pl.BlockSpec(
+            (1,) + c, lambda s, *_, _nd=nd: (s,) + (0,) * _nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    weights = [getattr(msg_ffn, k) for k in _W_FIELDS] + [
+        getattr(edge_ffn, k) for k in _W_FIELDS
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            blk((gk, qg)),
+            blk((gk, t)),
+            blk((gk, t)),
+            blk((nf, grp, t)),
+            blk((ce, gk, t)),
+            blk((ce, gk, t)),
+            full,  # x chunks resident
+        ]
+        + [full] * len(weights),
+        out_specs=[
+            blk((h, grp, t)),
+            blk((co, gk, t)),
+            blk((co, gk, t)),
+        ],
+    )
+    kern = _mp_kernel(
+        nf, ce, kp, grp, t, qg, gk, msg_norm, edge_norm,
+        edge_residual, emit_edges,
+    )
+    with jax.enable_x64(False):
+        agg, efo, ero = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_steps, h, grp, t), jnp.float32),
+                jax.ShapeDtypeStruct((n_steps, co, gk, t), jnp.float32),
+                jax.ShapeDtypeStruct((n_steps, co, gk, t), jnp.float32),
+            ],
+            interpret=interpret,
+        )(g.group_base, g.onehot, g.lidx, mask, xi, ef, er, xc, *weights)
+    agg_n = agg.transpose(0, 2, 3, 1).reshape(-1, h)[:n]
+    return agg_n, efo, ero
+
+
+def fold_dec_ffn(p: dict, ce: int, nf: int):
+    """Fold the edge decoder and permute its Dense_0 rows from the flax
+    input order [e | x_dst | x_src] to the kernel's fixed part order
+    (x_dst-slot, x_src-slot, e) — after this, the same kernel call shapes
+    serve both orientations (x_dst of the reversed edge IS the gathered
+    x_j)."""
+    ffn, has_norm = fold_ffn(p)
+    w0 = jnp.concatenate(
+        [ffn.w0[ce : ce + nf], ffn.w0[ce + nf : ce + 2 * nf], ffn.w0[:ce]],
+        axis=0,
+    )
+    return ffn._replace(w0=w0), has_norm
