@@ -106,6 +106,9 @@ def main(argv=None):
         return not only or name in only
 
     if want("synthetic"):
+      # the anisotropic random family underfits at the default width/LR
+      # schedule (see docs/PERF.md synthetic study): wider model + slow
+      # exp decay + longer training
       results["synthetic"] = run_family(
         "synthetic",
         lambda: SyntheticDatagen(
@@ -115,8 +118,10 @@ def main(argv=None):
         {},
         [f"data.prefix={wd}/synthetic", "data.is_fixed_topology=false",
          "data.has_shared_features=false", "data.use_node_features=false",
-         "data.use_edge_features_as_node_feature=mean"],
-        e, wd,
+         "data.use_edge_features_as_node_feature=mean",
+         "gnn_features=48", "gnn.num_mp_layers=6",
+         "scheduler.params.gamma=0.9995"],
+        max(e, 8 * e), wd,
     )
 
     if want("poisson2d"):
