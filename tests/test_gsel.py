@@ -98,3 +98,31 @@ def test_too_wide_returns_none():
     cols = rng.integers(0, n, n)
     a = sp.csr_matrix((np.ones(n), (rows, cols)), shape=(n, n))
     assert build_gsel(a, max_q=64) is None
+
+
+def test_lane_groups_match():
+    # two-level chunk maps (one chunk per 16-lane group): same semantics,
+    # much tighter K' padding
+    a = _fem_matrix(8)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(a.shape[1]).astype(np.float32)
+    want = a.astype(np.float64) @ x
+    scale = np.abs(want).max()
+    g1 = build_gsel(a, lane_groups=1)
+    g8 = build_gsel(a, lane_groups=8)
+    assert g8.k_width < g1.k_width  # padding actually shrinks
+    for g in (g1, g8):
+        got = np.asarray(gsel_spmv_xla(g, jnp.asarray(x)))
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+        got_pl = np.asarray(gsel_spmv_pallas(g, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(got_pl / scale, want / scale, atol=2e-5)
+
+
+def test_lane_groups_random_pattern():
+    a = _random_matrix(900, density=8e-3, seed=9)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(a.shape[1]).astype(np.float32)
+    want = a.astype(np.float64) @ x
+    g4 = build_gsel(a, lane_groups=4)
+    got = np.asarray(gsel_spmv_xla(g4, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * np.abs(want).max())

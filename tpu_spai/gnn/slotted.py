@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels.gsel import LANE, GselPlanes, build_gsel
+from ..kernels.gsel import LANE, GselPlanes, build_gsel, expand_window
 
 
 def _static(**kw):
@@ -71,7 +71,7 @@ def fused_safe_group(k_width: int) -> int:
 
 
 def build_slot_graph(
-    rows, cols, values, n: int, group: int = 16
+    rows, cols, values, n: int, group: int = 16, lane_groups: int = 8
 ) -> Optional[SlotGraph]:
     """Build the slot grid from directed edge lists (symmetric pattern).
 
@@ -95,7 +95,7 @@ def build_slot_graph(
     # (mirrors solver.gsel_solver.build_gsel_csr)
     g_ids = None
     while group >= 1:
-        g_ids = build_gsel(a_ids, group=group)
+        g_ids = build_gsel(a_ids, group=group, lane_groups=lane_groups)
         if g_ids is None:
             if group == 1:
                 return None
@@ -110,8 +110,8 @@ def build_slot_graph(
     if g_ids is None:
         return None
     group = g_ids.group
-    g_idt = build_gsel(at_ids, group=group)
-    g_val = build_gsel(a_val, group=group)
+    g_idt = build_gsel(at_ids, group=group, lane_groups=lane_groups)
+    g_val = build_gsel(a_val, group=group, lane_groups=lane_groups)
     ids_s = np.asarray(g_ids.vals)
     mask = (ids_s > 0).astype(np.float32)
     perm = np.maximum(ids_s.astype(np.int64) - 1, 0).astype(np.int32)
@@ -167,8 +167,11 @@ def gather_feats_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
 
     def step(carry, inp):
         oh, li, base = inp
-        xw = jax.lax.dynamic_slice(
-            xc, (jnp.int32(0), base, jnp.int32(0)), (nf, qg, LANE)
+        xw = expand_window(
+            jax.lax.dynamic_slice(
+                xc, (jnp.int32(0), base, jnp.int32(0)), (nf, qg, LANE)
+            ),
+            g.lane_groups,
         )
         op = jnp.einsum(
             "kq,fqc->fkc",
@@ -185,15 +188,15 @@ def gather_feats_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
     return out  # [S, F, GK', T]
 
 
-def _gather_kernel(nf: int, qg: int, gk: int):
+def _gather_kernel(nf: int, qg: int, gk: int, ng: int = 1):
     from jax.experimental import pallas as pl
 
     def kernel(base_ref, oh_ref, l_ref, x_ref, out_ref):
         s = pl.program_id(0)
         base = base_ref[s]
-        oh = oh_ref[0].astype(jnp.float32)  # [GK', Qg]
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', NG*Qg]
         li = l_ref[0]  # [GK', T]
-        xw = x_ref[:, pl.ds(base, qg), :]  # [F, Qg, 128]
+        xw = expand_window(x_ref[:, pl.ds(base, qg), :], ng)  # [F,NG*Qg,128]
         oh_b = jnp.broadcast_to(oh[None], (nf,) + oh.shape)
         op = jax.lax.dot_general(
             oh_b,
@@ -227,12 +230,14 @@ def gather_feats_pallas(
     xt = xt.at[:, : g.n_cols].set(x.T.astype(jnp.float32))
     xc = xt.reshape(nf, n_chunks, LANE)
 
+    ng = g.lane_groups
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, gk, qg), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
+                (1, gk, ng * qg), lambda s, *_: (s, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
@@ -245,7 +250,7 @@ def gather_feats_pallas(
     )
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _gather_kernel(nf, qg, gk),
+            _gather_kernel(nf, qg, gk, ng),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_steps, nf, gk, t), jnp.float32),
             interpret=interpret,

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..kernels.gsel import LANE, GselPlanes
+from ..kernels.gsel import LANE, GselPlanes, expand_window
 
 
 class FoldedFFN(NamedTuple):
@@ -119,7 +119,7 @@ _W_FIELDS = ("w0", "bconst", "sw", "w1", "b1", "w2", "b2")
 
 
 def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
-               edge_residual, emit_edges):
+               edge_residual, emit_edges, ng=1):
     m = gk * t
     mc = grp * t
     nw = len(_W_FIELDS)
@@ -134,9 +134,9 @@ def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
 
         s = pl.program_id(0)
         base = base_ref[s]
-        oh = oh_ref[0].astype(jnp.float32)  # [GK', Qg]
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', NG*Qg]
         li = l_ref[0]
-        xw = x_ref[:, pl.ds(base, qg), :]  # [F, Qg, 128]
+        xw = expand_window(x_ref[:, pl.ds(base, qg), :], ng)
         oh_b = jnp.broadcast_to(oh[None], (nf,) + oh.shape)
         op = jax.lax.dot_general(
             oh_b, xw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -230,11 +230,12 @@ def fused_mp_layer(
     weights = [getattr(msg_ffn, k) for k in _W_FIELDS] + [
         getattr(edge_ffn, k) for k in _W_FIELDS
     ]
+    ng = g.lane_groups
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
-            blk((gk, qg)),
+            blk((gk, ng * qg)),
             blk((gk, t)),
             blk((gk, t)),
             blk((nf, grp, t)),
@@ -251,7 +252,7 @@ def fused_mp_layer(
     )
     kern = _mp_kernel(
         nf, ce, kp, grp, t, qg, gk, msg_norm, edge_norm,
-        edge_residual, emit_edges,
+        edge_residual, emit_edges, ng,
     )
     with jax.enable_x64(False):
         agg, efo, ero = pl.pallas_call(

@@ -74,6 +74,7 @@ class GselPlanes:
     group: int = _static(default=16)  # tiles per grid step (G)
     q_chunks: int = _static(default=8)  # Qg (padded group-window chunks)
     k_width: int = _static(default=1)  # K'
+    lane_groups: int = _static(default=1)  # NG: chunks assigned per 128/NG lanes
 
     @property
     def n_steps(self) -> int:
@@ -91,6 +92,7 @@ def build_gsel(
     max_q: int = LANE,
     dtype=np.float32,
     double_single: bool = False,
+    lane_groups: int = 1,
 ) -> Optional[GselPlanes]:
     """Build gsel planes from a scipy-sparse-convertible matrix.
 
@@ -101,6 +103,12 @@ def build_gsel(
     ``double_single=True`` adds f32 tail planes ``vals_lo`` (vals stays the
     f32 head): vals + vals_lo represent the f64 entries to ~2^-48 — the
     storage for the double-single fp64-grade SpMV (gsel_spmv_ds_*).
+
+    ``lane_groups=NG`` assigns each slot row one chunk PER 128/NG-lane
+    group instead of per full row (onehot becomes [*, K', NG*Qg]; the
+    kernels select against an NG-replicated lane-masked window). The
+    per-chunk max is then taken over 128/NG rows, cutting the K' padding
+    ~2-3x on FEM patterns — every downstream plane shrinks with it.
     """
     import scipy.sparse as sp
 
@@ -140,43 +148,74 @@ def build_gsel(
 
     relq = (chunk - gbase[gid]).astype(np.int64)
 
-    # slot assignment: lexsort edges by (tile, chunk, row-in-tile, col);
-    # slot-row k of an edge = its rank within the (tile, chunk, row) group,
-    # offset by the tile's running sum of per-chunk widths K_q.
+    ng = lane_groups
+    assert LANE % ng == 0
+    lg_w = LANE // ng
     rint = row % tile
-    order = np.lexsort((col, rint, relq, tid))
-    t_o, q_o, r_o = tid[order], relq[order], rint[order]
-    grp = (t_o * (max_q + 1) + q_o) * tile + r_o
-    new_grp = np.ones(len(grp), bool)
-    new_grp[1:] = grp[1:] != grp[:-1]
-    idx = np.arange(len(grp))
-    start = np.maximum.accumulate(np.where(new_grp, idx, 0))
-    rank = idx - start  # 0,1,2.. within each (tile,chunk,row)
-    # per (tile, chunk) width K_q = max rank + 1
-    tq = t_o * (max_q + 1) + q_o
-    kq = np.zeros(n_tiles * (max_q + 1), np.int64)
-    np.maximum.at(kq, tq, rank + 1)
-    kq2 = kq.reshape(n_tiles, max_q + 1)
-    koff = np.concatenate(
-        [np.zeros((n_tiles, 1), np.int64), np.cumsum(kq2, axis=1)[:, :-1]], axis=1
-    )
-    kprime = int(kq2.sum(axis=1).max()) if len(row) else 1
-    kprime = max(1, kprime)
+    if ng == 1:
+        # single-chunk-per-slot-row construction: lexsort edges by
+        # (tile, chunk, row-in-tile, col); slot-row k of an edge = its rank
+        # within the (tile, chunk, row) group, offset by the tile's
+        # running sum of per-chunk widths K_q.
+        order = np.lexsort((col, rint, relq, tid))
+        t_o, q_o, r_o = tid[order], relq[order], rint[order]
+        grp = (t_o * (max_q + 1) + q_o) * tile + r_o
+        new_grp = np.ones(len(grp), bool)
+        new_grp[1:] = grp[1:] != grp[:-1]
+        idx = np.arange(len(grp))
+        start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        rank = idx - start
+        tq = t_o * (max_q + 1) + q_o
+        kq = np.zeros(n_tiles * (max_q + 1), np.int64)
+        np.maximum.at(kq, tq, rank + 1)
+        kq2 = kq.reshape(n_tiles, max_q + 1)
+        koff = np.concatenate(
+            [np.zeros((n_tiles, 1), np.int64), np.cumsum(kq2, axis=1)[:, :-1]],
+            axis=1,
+        )
+        kprime = max(1, int(kq2.sum(axis=1).max()) if len(row) else 1)
+        slot_k = koff[t_o, q_o] + rank
+        qmap3 = np.zeros((n_tiles_pad, kprime, 1), np.int64)
+        qmap3[t_o, slot_k, 0] = q_o
+    else:
+        # lane-group scheme: the kernel reads op[k, col_lane], so the chunk
+        # map applies per the COLUMN's lane group; rows whose neighbors sit
+        # in different chunks share slot rows — K' approaches max nnz/row.
+        # Greedy first-fit assignment in C++ (csrc/gsel_assign.cpp).
+        from ..native import gsel_first_fit
 
-    slot_k = koff[t_o, q_o] + rank  # [nnz] slot row within the tile
+        lgid = lane // lg_w
+        order = np.lexsort((rint, relq, lgid, tid))
+        t_o, q_o, r_o = tid[order], relq[order], rint[order]
+        lg_o = lgid[order].astype(np.int32)
+        per_row = np.bincount(row, minlength=n_rows).max() if len(row) else 1
+        max_k = int(per_row) * 2 + 8
+        res = None
+        while res is None:
+            res = gsel_first_fit(
+                t_o, lg_o, q_o.astype(np.int32), r_o.astype(np.int32),
+                n_tiles, ng, tile, max_k,
+            )
+            if res is None:
+                max_k *= 2
+        slot_k, qmap_ff, kprime = res
+        qmap3 = np.zeros((n_tiles_pad, kprime, ng), np.int64)
+        qmap3[:n_tiles] = np.maximum(qmap_ff[:, :kprime, :], 0)
 
     lidx = np.zeros((n_tiles_pad, kprime, tile), np.int32)
     vals = np.zeros((n_tiles_pad, kprime, tile), dtype)
-    qmap = np.zeros((n_tiles_pad, kprime), np.int64)
     lidx[t_o, slot_k, r_o] = lane[order]
     vals[t_o, slot_k, r_o] = val[order]
-    qmap[t_o, slot_k] = q_o  # single chunk per (tile, k) by construction
     vals_lo = None
     if val_lo is not None:
         vals_lo = np.zeros((n_tiles_pad, kprime, tile), np.float32)
         vals_lo[t_o, slot_k, r_o] = val_lo[order]
 
-    onehot = (qmap[:, :, None] == np.arange(qg)[None, None, :]).astype(np.int8)
+    # onehot [*, K', NG*Qg]: block lg holds the lane-group's chunk one-hot;
+    # unset (k, lg) cells got chunk 0 — harmless, their slots carry 0 vals
+    onehot = (
+        qmap3[:, :, :, None] == np.arange(qg)[None, None, None, :]
+    ).astype(np.int8).reshape(n_tiles_pad, kprime, ng * qg)
     gk = group * kprime
 
     def kmajor(arr):
@@ -202,7 +241,26 @@ def build_gsel(
         group=group,
         q_chunks=qg,
         k_width=kprime,
+        lane_groups=lane_groups,
     )
+
+
+def expand_window(xw: jax.Array, ng: int) -> jax.Array:
+    """[Qg, 128] window -> [NG*Qg, 128] lane-masked replicas (the operand
+    for the lane-group one-hot select; identity when ng == 1)."""
+    if ng == 1:
+        return xw
+    qg = xw.shape[-2]
+    lgw = LANE // ng
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (ng, LANE), 1) // lgw
+    m = (lanes == jax.lax.broadcasted_iota(jnp.int32, (ng, LANE), 0)).astype(
+        xw.dtype
+    )  # [ng, 128]
+    if xw.ndim == 2:
+        return (xw[None] * m[:, None, :]).reshape(ng * qg, LANE)
+    # batched [F, Qg, 128]
+    f = xw.shape[0]
+    return (xw[:, None] * m[None, :, None, :]).reshape(f, ng * qg, LANE)
 
 
 def _chunked_x(g: GselPlanes, x: jax.Array) -> jax.Array:
@@ -224,8 +282,11 @@ def gsel_spmv_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
     grp, kp, t = g.group, g.k_width, g.tile
 
     def step_body(carry, inp):
-        oh, li, v, base = inp  # [GK,Qg] i8, [GK,T] i32, [GK,T] f32, scalar
-        xw = jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE))
+        oh, li, v, base = inp  # [GK,NG*Qg] i8, [GK,T] i32, [GK,T] f32, scalar
+        xw = expand_window(
+            jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE)),
+            g.lane_groups,
+        )
         op = jnp.dot(
             oh.astype(g.vals.dtype), xw, precision=jax.lax.Precision.HIGHEST
         )  # [GK, 128]
@@ -256,7 +317,10 @@ def gsel_spmv_ds_xla(g: GselPlanes, x_hi: jax.Array, x_lo: jax.Array):
 
     def step_body(carry, inp):
         oh, li, vh, vl, base = inp
-        xw = jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE))
+        xw = expand_window(
+            jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE)),
+            g.lane_groups,
+        )
         op = jnp.dot(oh.astype(jnp.float64), xw)
         gv = jnp.take_along_axis(op, li, axis=1)
         v64 = vh.astype(jnp.float64) + vl.astype(jnp.float64)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gsel import LANE, GselPlanes, _chunked_x
+from .gsel import LANE, GselPlanes, _chunked_x, expand_window
 
 
 def _plane_specs(gk: int, qg: int, t: int):
@@ -44,9 +44,9 @@ def _plane_specs(gk: int, qg: int, t: int):
     ]
 
 
-def _chunk_select_gather(base, oh, xc_ref, l_idx, qg):
+def _chunk_select_gather(base, oh, xc_ref, l_idx, qg, ng=1):
     """op = onehot @ x_window (MXU, exact) ; g = lane-gather(op, lidx)."""
-    xw = xc_ref[pl.ds(base, qg), :]  # [Qg, 128]
+    xw = expand_window(xc_ref[pl.ds(base, qg), :], ng)  # [NG*Qg, 128]
     op = jax.lax.dot_general(
         oh,
         xw,
@@ -57,11 +57,11 @@ def _chunk_select_gather(base, oh, xc_ref, l_idx, qg):
     return jnp.take_along_axis(op, l_idx, axis=1)  # hw lane gather
 
 
-def _kernel(group: int, qg: int, kp: int, tile: int):
+def _kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1):
     def kernel(base_ref, oh_ref, l_ref, v_ref, x_ref, out_ref):
         s = pl.program_id(0)
-        oh = oh_ref[0].astype(jnp.float32)  # [GK', Qg]
-        gv = _chunk_select_gather(base_ref[s], oh, x_ref, l_ref[0], qg)
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', NG*Qg]
+        gv = _chunk_select_gather(base_ref[s], oh, x_ref, l_ref[0], qg, ng)
         prod = (v_ref[0] * gv).reshape(kp, group, tile)
         out_ref[0] = jnp.sum(prod, axis=0)  # [G, T]
 
@@ -76,6 +76,7 @@ def gsel_spmv_pallas(
 ) -> jax.Array:
     """y = A @ x via the gsel Pallas kernel. Returns [n_rows] in x.dtype."""
     kp, t, qg, grp = g.k_width, g.tile, g.q_chunks, g.group
+    ng = g.lane_groups
     gk = grp * kp
     n_steps = g.n_steps
     xc = _chunked_x(g, x)
@@ -83,7 +84,7 @@ def gsel_spmv_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=_plane_specs(gk, qg, t)
+        in_specs=_plane_specs(gk, ng * qg, t)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],  # x chunks, resident
         out_specs=pl.BlockSpec(
             (1, grp, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
@@ -93,7 +94,7 @@ def gsel_spmv_pallas(
     # constants stay i32 (Mosaic cannot legalize i64)
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _kernel(grp, qg, kp, t),
+            _kernel(grp, qg, kp, t, ng),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_steps, grp, t), jnp.float32),
             interpret=interpret,
@@ -117,7 +118,7 @@ def _two_prod(a, b):
     return p, err
 
 
-def _ds_kernel(group: int, qg: int, kp: int, tile: int):
+def _ds_kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1):
     def kernel(
         base_ref, oh_ref, l_ref, vh_ref, vl_ref, xh_ref, xl_ref,
         outh_ref, outl_ref, gh_ref, gl_ref,
@@ -127,12 +128,12 @@ def _ds_kernel(group: int, qg: int, kp: int, tile: int):
         oh = oh_ref[0].astype(jnp.float32)
         l_idx = l_ref[0]
         # phase 1 (vectorized): gather hi/lo x per slot into VMEM scratch
-        gh_ref[...] = _chunk_select_gather(base, oh, xh_ref, l_idx, qg).reshape(
-            kp, group, tile
-        )
-        gl_ref[...] = _chunk_select_gather(base, oh, xl_ref, l_idx, qg).reshape(
-            kp, group, tile
-        )
+        gh_ref[...] = _chunk_select_gather(
+            base, oh, xh_ref, l_idx, qg, ng
+        ).reshape(kp, group, tile)
+        gl_ref[...] = _chunk_select_gather(
+            base, oh, xl_ref, l_idx, qg, ng
+        ).reshape(kp, group, tile)
 
         # phase 2: Kahan-compensated reduction over K' with TwoProd terms
         zeros = jnp.zeros((group, tile), jnp.float32)
@@ -174,6 +175,7 @@ def gsel_spmv_ds_pallas(
     ~2^-48 relative error. Requires planes built with double_single=True."""
     assert g.vals_lo is not None, "build planes with double_single=True"
     kp, t, qg, grp = g.k_width, g.tile, g.q_chunks, g.group
+    ng = g.lane_groups
     gk = grp * kp
     n_steps = g.n_steps
     xch = _chunked_x(g, x_hi)
@@ -182,7 +184,7 @@ def gsel_spmv_ds_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=_plane_specs(gk, qg, t)
+        in_specs=_plane_specs(gk, ng * qg, t)
         + [
             pl.BlockSpec((1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x hi chunks
@@ -199,7 +201,7 @@ def gsel_spmv_ds_pallas(
     )
     with jax.enable_x64(False):
         yh, yl = pl.pallas_call(
-            _ds_kernel(grp, qg, kp, t),
+            _ds_kernel(grp, qg, kp, t, ng),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n_steps, grp, t), jnp.float32),

@@ -49,8 +49,35 @@ def _load():
                                     p_i32, p_i32, p_f64, ctypes.c_void_p]
     lib.assemble_p1_tri.restype = None
     lib.assemble_p1_tri.argtypes = lib.assemble_p1_tet.argtypes
+    lib.gsel_first_fit.restype = i64
+    lib.gsel_first_fit.argtypes = [
+        i64, p_i64, p_i32, p_i32, p_i32, i64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, p_i32, p_i32,
+    ]
     _lib = lib
     return lib
+
+
+def gsel_first_fit(tile, lg, q, rlane, n_tiles, ng, tile_rows, max_k):
+    """Greedy first-fit slot assignment for the gsel lane-group scheme
+    (csrc/gsel_assign.cpp). Edges must be sorted by tile. Returns
+    (slot_k [nnz] int32, qmap [n_tiles, max_k, ng] int32 with -1 unset,
+    kprime)."""
+    lib = _load()
+    nnz = len(tile)
+    slot_k = np.zeros(nnz, np.int32)
+    qmap = np.full((n_tiles, max_k, ng), -1, np.int32)
+    kprime = lib.gsel_first_fit(
+        nnz,
+        np.ascontiguousarray(tile, np.int64),
+        np.ascontiguousarray(lg, np.int32),
+        np.ascontiguousarray(q, np.int32),
+        np.ascontiguousarray(rlane, np.int32),
+        n_tiles, ng, tile_rows, max_k, slot_k, qmap,
+    )
+    if kprime < 0:
+        return None
+    return slot_k, qmap, int(kprime)
 
 
 def _lower_csr(a: sp.csr_matrix) -> sp.csr_matrix:

@@ -48,9 +48,15 @@ def build_gsel_csr(
     max_q: int = 128,
     group: int = 64,
     double_single: bool = False,
+    lane_groups: int = 8,
 ) -> Optional[GselPlanes]:
     """CSR -> gsel planes, shrinking `group` until a grid step's blocks fit
-    the scoped-VMEM budget. Returns None if unbandable within max_q."""
+    the scoped-VMEM budget. Returns None if unbandable within max_q.
+
+    lane_groups=8 is the production default: the first-fit lane-group slot
+    assignment (csrc/gsel_assign.cpp) cuts the K' padding ~1.6-2.5x, which
+    outweighs the wider one-hot (measured 14.9 vs 26-31 us/CG-iteration at
+    heat n=15.6k)."""
     import scipy.sparse as sp
 
     a = sp.csr_matrix(a)
@@ -58,7 +64,7 @@ def build_gsel_csr(
         group = max(1, group // 2)  # ds kernel carries ~2x VMEM (lo planes)
     while group >= 1:
         g = build_gsel(a, tile=tile, group=group, max_q=max_q,
-                       double_single=double_single)
+                       double_single=double_single, lane_groups=lane_groups)
         if g is None:
             # group window exceeded max_q chunks: fewer tiles per group
             # narrow the union window; at group == 1 the pattern is truly
@@ -68,7 +74,11 @@ def build_gsel_csr(
             group //= 2
             continue
         gk = g.group * g.k_width
-        step_bytes = gk * g.q_chunks + 2 * gk * g.tile * 4 + g.group * g.tile * 4
+        step_bytes = (
+            gk * g.q_chunks * lane_groups
+            + 2 * gk * g.tile * 4
+            + g.group * g.tile * 4
+        )
         if step_bytes <= _VMEM_STEP_BYTES or group == 1:
             return g
         group = max(1, group // 2)
