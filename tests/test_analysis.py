@@ -63,3 +63,19 @@ def test_tab_to_latex(agg_csv):
     assert r"\begin{tabular}" in tex
     assert r"\textbf{" in tex  # best cell bolded
     assert "$10^{-6}$" in tex
+
+
+def test_visualize_mesh(tmp_path):
+    # ~ misc/visualize_msh.py: render boundary faces to a PNG
+    import numpy as np
+
+    from tpu_spai.analysis.visualize import main as viz_main
+    from tpu_spai.datagen.meshes import unit_box_tet
+
+    verts, elems = unit_box_tet(3, 3, 3)
+    np.save(tmp_path / "v.npy", verts)
+    np.save(tmp_path / "e.npy", elems)
+    out = tmp_path / "mesh.png"
+    assert viz_main([str(tmp_path / "v.npy"), str(tmp_path / "e.npy"),
+                     str(out)]) == 0
+    assert out.exists() and out.stat().st_size > 1000
