@@ -102,7 +102,9 @@ def build_slot_graph(
             group //= 2
             continue
         gk = g_ids.group * g_ids.k_width
-        step_bytes = gk * g_ids.q_chunks + 2 * gk * g_ids.tile * 4
+        step_bytes = (
+            gk * g_ids.q_chunks * lane_groups + 2 * gk * g_ids.tile * 4
+        )
         if step_bytes <= int(2.5 * 2**20) or group == 1:
             break
         group = max(1, group // 2)
