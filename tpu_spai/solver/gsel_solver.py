@@ -41,17 +41,37 @@ from .cg import CGResult
 # (measured), so keep inputs <= 2.5 MB.
 _VMEM_STEP_BYTES = int(2.5 * 2**20)
 
+# Group-size cost model, fitted to v5e sweeps (docs/PERF.md round-1g):
+# t(G) ~= SELECT_PS * slots * Qg(G) + STEP_US * steps(G). The one-hot
+# chunk-select work grows with the group's shared window Qg; the per-
+# grid-step overhead shrinks with fewer steps. K' (and hence `slots`) is
+# group-independent, so the argmin is matrix-specific: small G for
+# wide-bandwidth patterns, larger G for narrow ones.
+_SELECT_PS_PER_SLOT_Q = 0.68e-6  # us per slot per window chunk
+_STEP_US = 0.33  # us per grid step
+
+
+def _step_bytes(g: GselPlanes, lane_groups: int) -> int:
+    gk = g.group * g.k_width
+    return (
+        gk * g.q_chunks * lane_groups
+        + 2 * gk * g.tile * 4
+        + g.group * g.tile * 4
+    )
+
 
 def build_gsel_csr(
     a,
     tile: int = 128,
     max_q: int = 128,
-    group: int = 64,
+    group: Optional[int] = None,
     double_single: bool = False,
     lane_groups: int = 8,
 ) -> Optional[GselPlanes]:
-    """CSR -> gsel planes, shrinking `group` until a grid step's blocks fit
-    the scoped-VMEM budget. Returns None if unbandable within max_q.
+    """CSR -> gsel planes. With `group=None` (production default) the tile
+    group G is chosen by the fitted cost model above among VMEM-feasible
+    candidates; pass an explicit `group` to pin it (shrunk only if it
+    violates the VMEM budget). Returns None if unbandable within max_q.
 
     lane_groups=8 is the production default: the first-fit lane-group slot
     assignment (csrc/gsel_assign.cpp) cuts the K' padding ~1.6-2.5x, which
@@ -60,29 +80,43 @@ def build_gsel_csr(
     import scipy.sparse as sp
 
     a = sp.csr_matrix(a)
-    if double_single:
-        group = max(1, group // 2)  # ds kernel carries ~2x VMEM (lo planes)
-    while group >= 1:
-        g = build_gsel(a, tile=tile, group=group, max_q=max_q,
+    budget = _VMEM_STEP_BYTES // (2 if double_single else 1)
+    candidates = (32, 16, 8, 4, 2, 1) if group is None else None
+    # below G=8 the [G*K', NG*Qg] one-hot matmul is too small for the MXU;
+    # only fall through when larger groups are VMEM/window-infeasible
+    if group is not None:
+        while group >= 1:
+            g = build_gsel(a, tile=tile, group=group, max_q=max_q,
+                           double_single=double_single,
+                           lane_groups=lane_groups)
+            if g is None:
+                # group window exceeded max_q chunks: fewer tiles per group
+                # narrow the union window; at group == 1 the pattern is
+                # truly unbandable within max_q
+                if group == 1:
+                    return None
+                group //= 2
+                continue
+            if _step_bytes(g, lane_groups) <= budget or group == 1:
+                return g
+            group = max(1, group // 2)
+        return None
+
+    best, best_cost = None, None
+    for cand in candidates:
+        if cand < 8 and best is not None:
+            break  # sub-8 groups starve the MXU (measured G=4 regression)
+        g = build_gsel(a, tile=tile, group=cand, max_q=max_q,
                        double_single=double_single, lane_groups=lane_groups)
-        if g is None:
-            # group window exceeded max_q chunks: fewer tiles per group
-            # narrow the union window; at group == 1 the pattern is truly
-            # unbandable within max_q
-            if group == 1:
-                return None
-            group //= 2
+        if g is None or _step_bytes(g, lane_groups) > budget:
             continue
-        gk = g.group * g.k_width
-        step_bytes = (
-            gk * g.q_chunks * lane_groups
-            + 2 * gk * g.tile * 4
-            + g.group * g.tile * 4
+        cost = (
+            _SELECT_PS_PER_SLOT_Q * g.slots * g.q_chunks
+            + _STEP_US * g.n_steps
         )
-        if step_bytes <= _VMEM_STEP_BYTES or group == 1:
-            return g
-        group = max(1, group // 2)
-    return None
+        if best_cost is None or cost < best_cost:
+            best, best_cost = g, cost
+    return best
 
 
 def gsel_matvec(g: GselPlanes, x: jax.Array, impl: str = "pallas") -> jax.Array:
