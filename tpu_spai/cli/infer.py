@@ -372,6 +372,151 @@ def main(argv=None):
                                 "NeuralSlot+TPU", dts, prec_slot,
                                 float(sres.iters), msize,
                             )
+
+                    # block matrices (b>1, elasticity families): GNN over
+                    # the block-graph slot grid, decoder channels expanded
+                    # into scalar solver planes (gnn/slotted_block.py)
+                    if (
+                        workspace.name in ("simple", "scaled")
+                        and batch.block_size > 1
+                    ):
+                        import dataclasses as _dc
+
+                        import scipy.sparse as sp
+
+                        from ..gnn.slotted import (
+                            fused_safe_group,
+                            slot_scatter,
+                            slotted_gnn_forward,
+                        )
+                        from ..gnn.slotted_block import (
+                            build_block_slot_layout,
+                            expand_block_planes,
+                            scalar_scale_add,
+                        )
+
+                        b_sz = batch.block_size
+                        bb = b_sz * b_sz
+                        n_blk = n_valid
+                        ei_v = ei[:, :e_valid]
+                        a_blk = sp.csr_matrix(
+                            (np.ones(e_valid), (ei_v[0], ei_v[1])),
+                            shape=(n_blk, n_blk),
+                        )
+                        bperm = rcm_permutation(a_blk)
+                        bpos = np.empty_like(bperm)
+                        bpos[bperm] = np.arange(n_blk)
+                        layout = build_block_slot_layout(
+                            bpos[ei_v[0]], bpos[ei_v[1]], n_blk, b_sz
+                        )
+                        if layout is not None and impl == "pallas":
+                            gsafe = fused_safe_group(
+                                layout.sg.pattern.k_width
+                            )
+                            if layout.sg.pattern.group > gsafe:
+                                layout = build_block_slot_layout(
+                                    bpos[ei_v[0]], bpos[ei_v[1]], n_blk,
+                                    b_sz, group=gsafe,
+                                )
+                        if layout is not None:
+                            sg_b = layout.sg
+                            xp = jnp.asarray(
+                                np.asarray(batch.x)[:n_valid][bperm],
+                                jnp.float32,
+                            )
+                            ea_v = np.asarray(batch.edge_attr)[:e_valid]
+                            e_fwd = slot_scatter(sg_b, ea_v)
+                            e_rev = slot_scatter(sg_b, ea_v, reverse=True)
+                            m_dof = (
+                                np.asarray(batch.mask)[:n_valid][bperm]
+                                .reshape(-1)
+                            )
+                            rsq = (
+                                np.asarray(batch.rsqrt_diag)[:n_valid][bperm]
+                                .reshape(-1)
+                                if scaled
+                                else None
+                            )
+                            sf, af, sr, ar = scalar_scale_add(
+                                layout, m_dof, rsq
+                            )
+                            s_sys, a_sys, _, _ = scalar_scale_add(
+                                layout, m_dof, None
+                            )
+                            gnn_impl = (
+                                "fused" if impl == "pallas" else impl
+                            )
+
+                            def construct():
+                                _, pf, pr = slotted_gnn_forward(
+                                    params, sg_b, xp, e_fwd, e_rev,
+                                    impl=gnn_impl, out_channels=bb,
+                                )
+                                vf, vr = expand_block_planes(
+                                    layout, pf, pr
+                                )
+                                return vf * sf + af, vr * sr + ar
+
+                            vf, vr = construct()
+                            vf.block_until_ready()
+                            t0 = time.perf_counter()
+                            for _ in range(repeat):
+                                vf, vr = construct()
+                                vf.block_until_ready()
+                            prec_slot = (time.perf_counter() - t0) / repeat
+
+                            blocks_v = (
+                                np.asarray(batch.graph.blocks)[:e_valid]
+                                .reshape(-1, bb)
+                                .astype(np.float32)
+                            )
+                            ap_sc = slot_scatter(sg_b, blocks_v)
+                            a_vf, _ = expand_block_planes(
+                                layout, ap_sc, ap_sc
+                            )
+                            apl = _dc.replace(
+                                layout.pattern, vals=a_vf * s_sys + a_sys
+                            )
+                            lpl = _dc.replace(layout.pattern, vals=vf)
+                            ltp = _dc.replace(layout.pattern, vals=vr)
+                            sperm = (
+                                bperm[:, None] * b_sz
+                                + np.arange(b_sz)[None, :]
+                            ).reshape(-1)
+                            inv_d = (
+                                jnp.asarray(
+                                    1.0 / a_csr.diagonal()[sperm],
+                                    jnp.float32,
+                                )
+                                if scaled
+                                else None
+                            )
+                            sprec = GselSpaiPrec(
+                                lpl, ltp, jnp.float32(workspace.epsilon),
+                                inv_diag=inv_d,
+                            )
+                            b_slot = jnp.asarray(
+                                (a_csr @ r)[sperm], dtype=jnp.float32
+                            )
+                            sres = pcg_gsel(
+                                apl, b_slot, prec=sprec, rtol=rtol,
+                                max_iter=msize, dot_dtype="chunk64",
+                                impl=impl,
+                            )
+                            np.asarray(sres.x)
+                            t0 = time.perf_counter()
+                            for _ in range(repeat):
+                                sres = pcg_gsel(
+                                    apl, b_slot, prec=sprec, rtol=rtol,
+                                    max_iter=msize, dot_dtype="chunk64",
+                                    impl=impl,
+                                )
+                                np.asarray(sres.x)
+                            dts = (time.perf_counter() - t0) / repeat
+                            stats.put(
+                                "NeuralSlot+TPU", dts, prec_slot,
+                                float(sres.iters), msize,
+                            )
                 except Exception as e:  # noqa: BLE001
                     log.warning(f"gsel solve skipped: {e}")
 

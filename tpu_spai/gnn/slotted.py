@@ -389,7 +389,8 @@ def _ffn_nodes(p: dict, x: jax.Array) -> jax.Array:
 @partial(
     jax.jit,
     static_argnames=(
-        "node_residual", "edge_residual", "impl", "interpret", "plane_dtype"
+        "node_residual", "edge_residual", "impl", "interpret", "plane_dtype",
+        "out_channels",
     ),
 )
 def slotted_gnn_forward(
@@ -403,12 +404,15 @@ def slotted_gnn_forward(
     impl: str = "pallas",
     interpret: bool = False,
     plane_dtype=None,  # jnp.bfloat16 halves the HBM-bound plane traffic
+    out_channels: int = 1,
 ):
     """NodeEdgeProcessing forward (gnns.py:77-97) over the slot grid.
 
     Returns (vals_fwd, vals_rev): [S, GK', T] factor values for Â and Âᵀ
     on the pattern's slot grid — drop them into `replace(pattern,
-    vals=...)` to get the SPAI operator planes."""
+    vals=...)` to get the SPAI operator planes. With `out_channels` = b^2
+    (block matrices) the value tensors keep the channel axis
+    ([S, b^2, GK', T], row-major i*b+j) for gnn/slotted_block.py."""
     p = params["params"] if "params" in params else params
     g = sg.pattern
     s_, gk, t = sg.mask.shape
@@ -472,6 +476,9 @@ def slotted_gnn_forward(
             msg_norm=d_norm, edge_norm=d_norm,
             edge_residual=False, interpret=interp,
         )
+        if out_channels > 1:
+            m = sg.mask[:, None]
+            return x, dec_f[:, :out_channels] * m, dec_r[:, :out_channels] * m
         vals_fwd = dec_f[:, 0] * sg.mask
         vals_rev = dec_r[:, 0] * sg.mask
         return x, vals_fwd, vals_rev
@@ -506,6 +513,13 @@ def slotted_gnn_forward(
     dec_r = _ffn_planes_parts(
         p["edge_dec"], ((er, ident), (xj, ident), (xi, expand_k))
     )
+    if out_channels > 1:
+        m = sg.mask[:, None]
+        return (
+            x,
+            dec_f[:, :out_channels].astype(jnp.float32) * m,
+            dec_r[:, :out_channels].astype(jnp.float32) * m,
+        )
     vals_fwd = dec_f[:, 0].astype(jnp.float32) * sg.mask
     vals_rev = dec_r[:, 0].astype(jnp.float32) * sg.mask
     return x, vals_fwd, vals_rev

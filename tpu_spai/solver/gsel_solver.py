@@ -67,6 +67,7 @@ def build_gsel_csr(
     group: Optional[int] = None,
     double_single: bool = False,
     lane_groups: int = 8,
+    dtype=np.float32,
 ) -> Optional[GselPlanes]:
     """CSR -> gsel planes. With `group=None` (production default) the tile
     group G is chosen by the fitted cost model above among VMEM-feasible
@@ -88,7 +89,7 @@ def build_gsel_csr(
         while group >= 1:
             g = build_gsel(a, tile=tile, group=group, max_q=max_q,
                            double_single=double_single,
-                           lane_groups=lane_groups)
+                           lane_groups=lane_groups, dtype=dtype)
             if g is None:
                 # group window exceeded max_q chunks: fewer tiles per group
                 # narrow the union window; at group == 1 the pattern is
@@ -107,7 +108,8 @@ def build_gsel_csr(
         if cand < 8 and best is not None:
             break  # sub-8 groups starve the MXU (measured G=4 regression)
         g = build_gsel(a, tile=tile, group=cand, max_q=max_q,
-                       double_single=double_single, lane_groups=lane_groups)
+                       double_single=double_single, lane_groups=lane_groups,
+                       dtype=dtype)
         if g is None or _step_bytes(g, lane_groups) > budget:
             continue
         cost = (
