@@ -166,3 +166,35 @@ def test_lower_triangular_mask(rng):
     em = np.asarray(m).astype(bool)
     assert (s.edge_index[1][em] <= s.edge_index[0][em]).all()
     assert (s.edge_index[1][~em] > s.edge_index[0][~em]).all()
+
+
+def test_padded_forward_matches_subgraph(rng):
+    # bucket-padding edges are wired to node 0 for static shapes; the
+    # edge_valid weighting must keep them out of message aggregation —
+    # the padded forward must equal the unpadded-subgraph forward exactly
+    from tpu_spai.config import load_config
+    from tpu_spai.train import get_workspace
+
+    sample = _sample(rng, n=24)
+    batch = collate([sample], node_bucket=64, edge_bucket=512)
+    assert batch.n_nodes > sample.num_nodes  # padding present
+    cfg = load_config(
+        "configs", "basic",
+        ["exp_name=t", "data.prefix=unused", "gnn_features=8",
+         "gnn.num_mp_layers=2"],
+    )
+    ws = get_workspace("simple")(
+        gnn=cfg.gnn, loss=cfg.loss, block_size=1, epsilon=3e-3
+    )
+    params = ws.init_params(jax.random.key(0), batch)
+    e_valid = sample.edge_index.shape[1]
+    padded = np.asarray(ws.predict_blocks(params, batch))[:e_valid]
+    _, sub = ws.model.apply(
+        params,
+        jnp.asarray(sample.x),
+        jnp.asarray(sample.edge_index.astype(np.int32)),
+        jnp.asarray(sample.edge_attr),
+    )
+    np.testing.assert_allclose(
+        padded.reshape(-1), np.asarray(sub)[:, 0], rtol=1e-5, atol=1e-6
+    )

@@ -61,6 +61,13 @@ class GraphBatch:
     def edge_index(self) -> jax.Array:
         return jnp.stack([self.graph.edge_row, self.graph.edge_col])
 
+    @property
+    def edge_valid(self) -> jax.Array:
+        """1/0 mask over padded edges. Padding edges are wired to node 0
+        (static shapes) — GNN message passing MUST weight messages by this
+        mask or node 0 aggregates `pad_e` spurious MLP-bias messages."""
+        return (self.edge_seg < self.n_graphs).astype(jnp.float32)
+
 
 def _bucket(n: int, granularity: int = 256) -> int:
     """Round up to a bucket boundary to bound the number of compilations."""

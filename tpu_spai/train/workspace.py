@@ -84,13 +84,18 @@ class SimpleWorkspace:
     # -- pure functions (jit-safe) -----------------------------------------
 
     def init_params(self, key, batch: GraphBatch):
-        return self.model.init(key, batch.x, batch.edge_index, batch.edge_attr)
+        return self.model.init(
+            key, batch.x, batch.edge_index, batch.edge_attr, batch.edge_valid
+        )
 
     def predict_blocks(self, params, batch: GraphBatch) -> jax.Array:
         """GNN forward -> per-edge factor blocks [E, b, b]
-        (workspace.py:92-94)."""
+        (workspace.py:92-94). Messages are weighted by `edge_valid` so the
+        bucket-padding edges (wired to node 0 for static shapes) cannot
+        inject MLP-bias noise into real nodes."""
         _, edge_out = self.model.apply(
-            params, batch.x, batch.edge_index, batch.edge_attr
+            params, batch.x, batch.edge_index, batch.edge_attr,
+            batch.edge_valid,
         )
         b = self.block_size
         return edge_out.reshape(-1, b, b)
