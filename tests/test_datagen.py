@@ -130,3 +130,45 @@ def test_elasticity_stepper_physics():
     assert fem.deformation()[tip, 2].mean() < -1e-5  # sagged
     # fixed face stayed put
     np.testing.assert_allclose(fem.deformation()[left], 0, atol=1e-12)
+
+
+def test_tetrahedralize_icosphere():
+    # tetgen-capability stand-in: Delaunay + winding-number mesher
+    # (datagen_helper.py:113-137) — volume, orientation, boundary checks
+    import numpy as np
+
+    from tpu_spai.datagen.meshes import (
+        boundary_faces_tet,
+        load_obj,
+        tetrahedralize,
+    )
+
+    v, f = load_obj("data/objs/icosphere.obj")
+    vt, tt = tetrahedralize(v, f)
+    d10 = vt[tt[:, 1]] - vt[tt[:, 0]]
+    d20 = vt[tt[:, 2]] - vt[tt[:, 0]]
+    d30 = vt[tt[:, 3]] - vt[tt[:, 0]]
+    vol = np.einsum("mi,mi->m", np.cross(d10, d20), d30) / 6
+    assert (vol > 0).all()
+    r = np.linalg.norm(v, axis=1).mean()
+    assert abs(vol.sum() - 4 / 3 * np.pi * r**3) < 0.1 * vol.sum()
+    # the carved boundary must be exactly the input surface triangles
+    assert len(boundary_faces_tet(tt)) == len(f)
+    # FEM assembly on the result: SPD-ready operators
+    from tpu_spai.native import laplacian, lumped_mass
+
+    lap = laplacian(vt, tt)
+    mass = lumped_mass(vt, tt)
+    assert np.isfinite(lap.data).all() and (mass > 0).all()
+
+
+def test_winding_number_inside_outside():
+    import numpy as np
+
+    from tpu_spai.datagen.meshes import load_obj, winding_number
+
+    v, f = load_obj("data/objs/icosphere.obj")
+    pts = np.array([[0.0, 0, 0], [0.5, 0, 0], [2.0, 0, 0], [0, 1.5, 0]])
+    w = winding_number(pts, v, f)
+    np.testing.assert_allclose(w[:2], 1.0, atol=1e-6)
+    np.testing.assert_allclose(w[2:], 0.0, atol=1e-6)

@@ -127,6 +127,13 @@ def _make_mesh(spec: str):
     if spec.startswith("grid:"):
         n = int(spec.split(":")[1])
         return grid_tri(n, n)
+    if spec.startswith("tet:"):
+        # volume-mesh a closed OBJ surface (the reference's tetgen path,
+        # datagen/heat.py:9 via datagen_helper.tetrahedralize)
+        from .meshes import tetrahedralize
+
+        nodes, faces = load_obj(spec.split(":", 1)[1])
+        return tetrahedralize(nodes, faces)
     nodes, faces = load_obj(spec)
     return nodes, faces
 

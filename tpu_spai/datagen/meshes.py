@@ -11,7 +11,7 @@ simple OBJ read/write, and boundary extraction utilities
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -141,6 +141,98 @@ def subgraph_grow(
         frontier = cand[~mark[cand]]
         mark[frontier] = True
     return np.nonzero(mark)[0]
+
+
+def winding_number(
+    points: np.ndarray,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    chunk: int = 1024,
+) -> np.ndarray:
+    """Generalized winding number of `points` w.r.t. a closed triangulated
+    surface (Van Oosterom–Strackee solid angles, summed over triangles).
+    ~1 inside a watertight CCW-oriented surface, ~0 outside. Vectorized in
+    point-chunks; O(P * F) flops on the host."""
+    tri = verts[faces]  # [F, 3, 3]
+    out = np.empty(len(points))
+    for s in range(0, len(points), chunk):
+        p = points[s : s + chunk]
+        a = tri[None, :, 0] - p[:, None]  # [P, F, 3]
+        b = tri[None, :, 1] - p[:, None]
+        c = tri[None, :, 2] - p[:, None]
+        la = np.linalg.norm(a, axis=-1)
+        lb = np.linalg.norm(b, axis=-1)
+        lc = np.linalg.norm(c, axis=-1)
+        num = np.einsum("pfi,pfi->pf", a, np.cross(b, c))
+        den = (
+            la * lb * lc
+            + np.einsum("pfi,pfi->pf", a, b) * lc
+            + np.einsum("pfi,pfi->pf", b, c) * la
+            + np.einsum("pfi,pfi->pf", a, c) * lb
+        )
+        out[s : s + chunk] = np.sum(np.arctan2(num, den), axis=1) / (2 * np.pi)
+    return out
+
+
+def tetrahedralize(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    spacing: Optional[float] = None,
+    jitter: float = 0.25,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Tetrahedralize the volume bounded by a closed triangulated surface —
+    the tetgen capability of the reference's pipeline
+    (datagen_helper.py:113-137 `tetrahedralize`, preprocess/obj_to_npy.py)
+    without the external wheel: jittered interior grid sampling, a scipy
+    (Qhull) Delaunay over surface + interior points, and a generalized-
+    winding-number centroid filter to carve the non-convex exterior away.
+
+    `spacing` (default: median surface edge length) sets the interior
+    resolution. Returns (verts [n,3] f64, tets [m,4] int32), positively
+    oriented, vertices compacted to those actually used. Quality is below
+    tetgen's (no boundary refinement / sliver removal), which is
+    acceptable for dataset generation — FEM assembly only needs positive
+    volumes."""
+    from scipy.spatial import Delaunay, cKDTree
+
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    if spacing is None:
+        e = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+        )
+        spacing = float(
+            np.median(np.linalg.norm(verts[e[:, 0]] - verts[e[:, 1]], axis=1))
+        )
+    rng = np.random.default_rng(seed)
+    lo, hi = verts.min(0), verts.max(0)
+    axes = [np.arange(lo[k] + spacing / 2, hi[k], spacing) for k in range(3)]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+    pts = pts + rng.uniform(-jitter, jitter, pts.shape) * spacing
+    # keep samples well inside: winding >= 1/2 and clear of the surface
+    d, _ = cKDTree(verts).query(pts, k=1)
+    pts = pts[d > 0.45 * spacing]
+    pts = pts[winding_number(pts, verts, faces) > 0.5]
+
+    allp = np.concatenate([verts, pts])
+    dela = Delaunay(allp)
+    tets = dela.simplices.astype(np.int64)
+    cent = allp[tets].mean(axis=1)
+    tets = tets[winding_number(cent, verts, faces) > 0.5]
+    # drop degenerate (measure-zero) tets and orient positively
+    d10 = allp[tets[:, 1]] - allp[tets[:, 0]]
+    d20 = allp[tets[:, 2]] - allp[tets[:, 0]]
+    d30 = allp[tets[:, 3]] - allp[tets[:, 0]]
+    vol6 = np.einsum("mi,mi->m", np.cross(d10, d20), d30)
+    keep = np.abs(vol6) > 1e-10 * spacing**3
+    tets, vol6 = tets[keep], vol6[keep]
+    flip = vol6 < 0
+    tets[flip] = tets[flip][:, [0, 1, 3, 2]]
+    # compact to used vertices
+    used, inv = np.unique(tets.ravel(), return_inverse=True)
+    return allp[used], inv.reshape(tets.shape).astype(np.int32)
 
 
 def save_obj(path, verts: np.ndarray, faces: np.ndarray):

@@ -105,11 +105,12 @@ def process_single_mesh(
     if src.suffix == ".msh":
         verts, tets = parse_msh(src)
     elif src.suffix == ".obj":
-        verts, faces = load_obj(src)
-        raise ValueError(
-            f"{src}: OBJ is a surface mesh; tetrahedralization requires an "
-            "external mesher — supply .msh or pre-tetrahedralized npy"
-        )
+        # closed surface -> volume mesh (obj_to_npy.py / misc/tetra.py path,
+        # Delaunay + winding-number mesher instead of the tetgen wheel)
+        from .meshes import tetrahedralize
+
+        sverts, faces = load_obj(src)
+        verts, tets = tetrahedralize(sverts, faces)
     else:
         raise ValueError(f"unsupported mesh format: {src.suffix}")
     if not (min_verts <= len(verts) <= max_verts):
