@@ -423,357 +423,6 @@ def main(argv=None):
                                 float(sres.iters), msize,
                             )
                 except Exception as e:  # noqa: BLE001
-                    log.error(f"{method} failed: {e}")
-            # device unpreconditioned + jacobi (the SpMV-only methods)
-            ga = csr_to_graph(a_csr)
-            b_dev = jnp.asarray(a_csr @ r)
-            for method in ("none", "diagonal"):
-                if method not in check_methods:
-                    continue
-                from ..solver import jacobi_prec
-
-                pr = None if method == "none" else jacobi_prec(ga)
-                res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-                res.x.block_until_ready()
-                t0 = time.perf_counter()
-                for _ in range(repeat):
-                    res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-                    res.x.block_until_ready()
-                dt = (time.perf_counter() - t0) / repeat
-                stats.put(f"PCG-{method}-tpu", dt, 0.0, float(res.iters), msize)
-
-            # neural SPAI: host + device
-            it, _, sol = get_pcg_iter_time(
-                a_csr, r, l_csr, workspace.epsilon, rtol=rtol, repeat=repeat,
-                scaled=scaled,
-            )
-            stats.put("Neural", sol, prec_t, it, msize)
-
-            gl = csr_to_graph(l_csr)
-            if scaled:
-                inv_d = jnp.asarray(
-                    (1.0 / a_csr.diagonal()).reshape(ga.n_nodes, ga.block_size)
-                )
-                pr = spai_scaled_prec(gl, workspace.epsilon, inv_d)
-            else:
-                pr = spai_prec(gl, workspace.epsilon)
-            res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-            res.x.block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(repeat):
-                res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-                res.x.block_until_ready()
-            dt = (time.perf_counter() - t0) / repeat
-            stats.put("Neural+TPU", dt, prec_t, float(res.iters), msize)
-
-            # gsel fast-kernel solve (production path, kernels/gsel_pallas;
-            # covers unbandable patterns too — the CSV key stays
-            # "Neural+TPUw" for continuity with earlier result files)
-            if bool(cfg.select("use_windowed", True)):
-                try:
-                    from ..dist.partition import rcm_permutation
-                    from ..solver import (
-                        GselSpaiPrec,
-                        build_gsel_csr,
-                        pcg_gsel,
-                    )
-
-                    dev_prec = str(cfg.select("device_precision", "f32"))
-                    wperm = rcm_permutation(a_csr)
-                    a_p = a_csr[wperm][:, wperm].tocsr()
-                    a_p.sort_indices()
-                    l_p = l_csr[wperm][:, wperm].tocsr()
-                    l_p.sort_indices()
-                    ds = dev_prec == "ds"
-                    ga_f = build_gsel_csr(a_p, double_single=ds)
-                    gl_f = build_gsel_csr(l_p, double_single=ds)
-                    gl_t = build_gsel_csr(l_p.T.tocsr(), double_single=ds)
-                    if ga_f is not None and gl_f is not None and gl_t is not None:
-                        b_p = jnp.asarray((a_csr @ r)[wperm], dtype=jnp.float32)
-                        inv_d = (
-                            jnp.asarray(1.0 / a_p.diagonal(), jnp.float32)
-                            if scaled
-                            else None
-                        )
-                        if ds:
-                            from ..solver import GselSpaiPrecDS
-
-                            wprec = GselSpaiPrecDS(
-                                gl_f, gl_t, jnp.float64(workspace.epsilon),
-                                inv_diag=inv_d,
-                            )
-                        else:
-                            wprec = GselSpaiPrec(
-                                gl_f, gl_t, jnp.float32(workspace.epsilon),
-                                inv_diag=inv_d,
-                            )
-                        impl = (
-                            "pallas"
-                            if jax.default_backend() == "tpu"
-                            else "xla"
-                        )
-                        kw = dict(rtol=rtol, max_iter=msize, impl=impl)
-                        if ds:
-                            kw["precision"] = "ds"
-                        else:
-                            kw["dot_dtype"] = "chunk64"
-                        wres = pcg_gsel(ga_f, b_p, prec=wprec, **kw)
-                        np.asarray(wres.x)
-                        t0 = time.perf_counter()
-                        for _ in range(repeat):
-                            wres = pcg_gsel(ga_f, b_p, prec=wprec, **kw)
-                            np.asarray(wres.x)
-                        dtw = (time.perf_counter() - t0) / repeat
-                        stats.put(
-                            "Neural+TPUw", dtw, prec_t, float(wres.iters), msize
-                        )
-
-                    # fully on-device path: slot-layout GNN construction +
-                    # SPAI planes with zero host assembly (simple ws, b=1)
-                    if workspace.name == "simple" and batch.block_size == 1:
-                        import dataclasses as _dc
-
-                        from ..gnn.slotted import (
-                            build_slot_graph,
-                            slot_scatter,
-                            slotted_gnn_forward,
-                        )
-
-                        pos = np.empty_like(wperm)
-                        pos[wperm] = np.arange(len(wperm))
-                        ei_v = ei[:, :e_valid]
-                        av = np.asarray(batch.graph.blocks)[:e_valid].reshape(-1)
-                        sg = build_slot_graph(
-                            pos[ei_v[0]], pos[ei_v[1]], av, msize
-                        )
-                        if sg is not None and impl == "pallas":
-                            # the fused MP kernel needs a VMEM-safe group
-                            from ..gnn.slotted import fused_safe_group
-
-                            gsafe = fused_safe_group(sg.pattern.k_width)
-                            if sg.pattern.group > gsafe:
-                                sg = build_slot_graph(
-                                    pos[ei_v[0]], pos[ei_v[1]], av, msize,
-                                    group=gsafe,
-                                )
-                        if sg is not None:
-                            m = np.asarray(batch.mask)[:n_valid].reshape(-1)
-                            scale_e = m[ei_v[0]] * m[ei_v[1]]
-                            add_e = np.where(
-                                ei_v[0] == ei_v[1], 1.0 - m[ei_v[0]], 0.0
-                            )
-                            sc = slot_scatter(sg, scale_e.astype(np.float32))
-                            ad = slot_scatter(sg, add_e.astype(np.float32))
-                            sc_r = slot_scatter(
-                                sg, scale_e.astype(np.float32), reverse=True
-                            )
-                            ad_r = slot_scatter(
-                                sg, add_e.astype(np.float32), reverse=True
-                            )
-                            xp = jnp.asarray(
-                                np.asarray(batch.x)[:n_valid][wperm],
-                                jnp.float32,
-                            )
-                            ea_v = np.asarray(batch.edge_attr)[:e_valid]
-                            e_fwd = slot_scatter(sg, ea_v)
-                            e_rev = slot_scatter(sg, ea_v, reverse=True)
-
-                            gnn_impl = (
-                                "fused" if impl == "pallas" else impl
-                            )
-
-                            def construct():
-                                _, vf, vr = slotted_gnn_forward(
-                                    params, sg, xp, e_fwd, e_rev,
-                                    impl=gnn_impl,
-                                )
-                                return (
-                                    vf * sc[:, 0] + ad[:, 0],
-                                    vr * sc_r[:, 0] + ad_r[:, 0],
-                                )
-
-                            vf, vr = construct()
-                            vf.block_until_ready()
-                            t0 = time.perf_counter()
-                            for _ in range(repeat):
-                                vf, vr = construct()
-                                vf.block_until_ready()
-                            prec_slot = (time.perf_counter() - t0) / repeat
-                            lpl = _dc.replace(sg.pattern, vals=vf)
-                            ltp = _dc.replace(sg.pattern, vals=vr)
-                            sprec = GselSpaiPrec(
-                                lpl, ltp, jnp.float32(workspace.epsilon)
-                            )
-                            # Dirichlet-mask the A operator too (the host
-                            # path benchmarks the masked system)
-                            apl = _dc.replace(
-                                sg.pattern,
-                                vals=sg.pattern.vals * sc[:, 0] + ad[:, 0],
-                            )
-                            sres = pcg_gsel(
-                                apl, b_p, prec=sprec, rtol=rtol,
-                                max_iter=msize, dot_dtype="chunk64", impl=impl,
-                            )
-                            np.asarray(sres.x)
-                            t0 = time.perf_counter()
-                            for _ in range(repeat):
-                                sres = pcg_gsel(
-                                    apl, b_p, prec=sprec, rtol=rtol,
-                                    max_iter=msize, dot_dtype="chunk64",
-                                    impl=impl,
-                                )
-                                np.asarray(sres.x)
-                            dts = (time.perf_counter() - t0) / repeat
-                            stats.put(
-                                "NeuralSlot+TPU", dts, prec_slot,
-                                float(sres.iters), msize,
-                            )
-
-                    # block matrices (b>1, elasticity families): GNN over
-                    # the block-graph slot grid, decoder channels expanded
-                    # into scalar solver planes (gnn/slotted_block.py)
-                    if (
-                        workspace.name in ("simple", "scaled")
-                        and batch.block_size > 1
-                    ):
-                        import dataclasses as _dc
-
-                        import scipy.sparse as sp
-
-                        from ..gnn.slotted import (
-                            fused_safe_group,
-                            slot_scatter,
-                            slotted_gnn_forward,
-                        )
-                        from ..gnn.slotted_block import (
-                            build_block_slot_layout,
-                            expand_block_planes,
-                            scalar_scale_add,
-                        )
-
-                        b_sz = batch.block_size
-                        bb = b_sz * b_sz
-                        n_blk = n_valid
-                        ei_v = ei[:, :e_valid]
-                        a_blk = sp.csr_matrix(
-                            (np.ones(e_valid), (ei_v[0], ei_v[1])),
-                            shape=(n_blk, n_blk),
-                        )
-                        bperm = rcm_permutation(a_blk)
-                        bpos = np.empty_like(bperm)
-                        bpos[bperm] = np.arange(n_blk)
-                        layout = build_block_slot_layout(
-                            bpos[ei_v[0]], bpos[ei_v[1]], n_blk, b_sz
-                        )
-                        if layout is not None and impl == "pallas":
-                            gsafe = fused_safe_group(
-                                layout.sg.pattern.k_width
-                            )
-                            if layout.sg.pattern.group > gsafe:
-                                layout = build_block_slot_layout(
-                                    bpos[ei_v[0]], bpos[ei_v[1]], n_blk,
-                                    b_sz, group=gsafe,
-                                )
-                        if layout is not None:
-                            sg_b = layout.sg
-                            xp = jnp.asarray(
-                                np.asarray(batch.x)[:n_valid][bperm],
-                                jnp.float32,
-                            )
-                            ea_v = np.asarray(batch.edge_attr)[:e_valid]
-                            e_fwd = slot_scatter(sg_b, ea_v)
-                            e_rev = slot_scatter(sg_b, ea_v, reverse=True)
-                            m_dof = (
-                                np.asarray(batch.mask)[:n_valid][bperm]
-                                .reshape(-1)
-                            )
-                            rsq = (
-                                np.asarray(batch.rsqrt_diag)[:n_valid][bperm]
-                                .reshape(-1)
-                                if scaled
-                                else None
-                            )
-                            sf, af, sr, ar = scalar_scale_add(
-                                layout, m_dof, rsq
-                            )
-                            s_sys, a_sys, _, _ = scalar_scale_add(
-                                layout, m_dof, None
-                            )
-                            gnn_impl = (
-                                "fused" if impl == "pallas" else impl
-                            )
-
-                            def construct():
-                                _, pf, pr = slotted_gnn_forward(
-                                    params, sg_b, xp, e_fwd, e_rev,
-                                    impl=gnn_impl, out_channels=bb,
-                                )
-                                vf, vr = expand_block_planes(
-                                    layout, pf, pr
-                                )
-                                return vf * sf + af, vr * sr + ar
-
-                            vf, vr = construct()
-                            vf.block_until_ready()
-                            t0 = time.perf_counter()
-                            for _ in range(repeat):
-                                vf, vr = construct()
-                                vf.block_until_ready()
-                            prec_slot = (time.perf_counter() - t0) / repeat
-
-                            blocks_v = (
-                                np.asarray(batch.graph.blocks)[:e_valid]
-                                .reshape(-1, bb)
-                                .astype(np.float32)
-                            )
-                            ap_sc = slot_scatter(sg_b, blocks_v)
-                            a_vf, _ = expand_block_planes(
-                                layout, ap_sc, ap_sc
-                            )
-                            apl = _dc.replace(
-                                layout.pattern, vals=a_vf * s_sys + a_sys
-                            )
-                            lpl = _dc.replace(layout.pattern, vals=vf)
-                            ltp = _dc.replace(layout.pattern, vals=vr)
-                            sperm = (
-                                bperm[:, None] * b_sz
-                                + np.arange(b_sz)[None, :]
-                            ).reshape(-1)
-                            inv_d = (
-                                jnp.asarray(
-                                    1.0 / a_csr.diagonal()[sperm],
-                                    jnp.float32,
-                                )
-                                if scaled
-                                else None
-                            )
-                            sprec = GselSpaiPrec(
-                                lpl, ltp, jnp.float32(workspace.epsilon),
-                                inv_diag=inv_d,
-                            )
-                            b_slot = jnp.asarray(
-                                (a_csr @ r)[sperm], dtype=jnp.float32
-                            )
-                            sres = pcg_gsel(
-                                apl, b_slot, prec=sprec, rtol=rtol,
-                                max_iter=msize, dot_dtype="chunk64",
-                                impl=impl,
-                            )
-                            np.asarray(sres.x)
-                            t0 = time.perf_counter()
-                            for _ in range(repeat):
-                                sres = pcg_gsel(
-                                    apl, b_slot, prec=sprec, rtol=rtol,
-                                    max_iter=msize, dot_dtype="chunk64",
-                                    impl=impl,
-                                )
-                                np.asarray(sres.x)
-                            dts = (time.perf_counter() - t0) / repeat
-                            stats.put(
-                                "NeuralSlot+TPU", dts, prec_slot,
-                                float(sres.iters), msize,
-                            )
-                except Exception as e:  # noqa: BLE001
                     log.warning(f"gsel solve skipped: {e}")
 
             if enable_cholmod:
