@@ -156,3 +156,45 @@ def test_pcg_ds_pair_state_unjitted():
     x = np.asarray(res.x).reshape(-1)
     rel = np.linalg.norm(a @ x - b) / np.linalg.norm(b)
     assert rel < 1e-9, rel
+
+
+def test_residual_replacement_honest_stopping():
+    # plain f32 CG "converges" by recurrence while the TRUE residual
+    # stagnates at ~eps_f32*kappa on the ill-conditioned heat operator;
+    # the residual-replacement solver must only exit on true convergence
+    import scipy.sparse as sp
+
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.dist.partition import rcm_permutation
+    from tpu_spai.native import laplacian, lumped_mass
+    from tpu_spai.solver.gsel_solver import (
+        build_gsel_csr,
+        pcg_gsel,
+        pcg_gsel_rr,
+    )
+
+    nodes, elems = unit_box_tet(12, 12, 12)
+    a = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(1e-2 * lumped_mass(nodes, elems))
+    )
+    perm = rcm_permutation(a)
+    ap = a[perm][:, perm].tocsr()
+    ap.sort_indices()
+    n = ap.shape[0]
+    b64 = ap @ np.ones(n)
+    g = build_gsel_csr(ap, double_single=True)
+
+    rf = pcg_gsel(
+        g, jnp.asarray(b64, jnp.float32), rtol=1e-6, max_iter=20000,
+        impl="xla", dot_dtype="chunk64",
+    )
+    xf = np.asarray(rf.x, np.float64).reshape(-1)
+    true_f32 = np.linalg.norm(ap @ xf - b64) / np.linalg.norm(b64)
+
+    rr = pcg_gsel_rr(g, jnp.asarray(b64), rtol=1e-6, max_iter=20000, impl="xla")
+    xr = np.asarray(rr.x).reshape(-1)
+    true_rr = np.linalg.norm(ap @ xr - b64) / np.linalg.norm(b64)
+
+    assert bool(rr.converged)
+    assert true_rr < 5e-6  # honest (f32 stalls ~1e-3..1e-2 here)
+    assert true_rr < true_f32 / 50

@@ -229,7 +229,8 @@ def main(argv=None):
                     l_p = l_csr[wperm][:, wperm].tocsr()
                     l_p.sort_indices()
                     ds = dev_prec == "ds"
-                    ga_f = build_gsel_csr(a_p, double_single=ds)
+                    rr = dev_prec == "rr"  # residual-replacement mixed CG
+                    ga_f = build_gsel_csr(a_p, double_single=ds or rr)
                     gl_f = build_gsel_csr(l_p, double_single=ds)
                     gl_t = build_gsel_csr(l_p.T.tocsr(), double_single=ds)
                     if ga_f is not None and gl_f is not None and gl_t is not None:
@@ -257,15 +258,32 @@ def main(argv=None):
                             else "xla"
                         )
                         kw = dict(rtol=rtol, max_iter=msize, impl=impl)
-                        if ds:
-                            kw["precision"] = "ds"
+                        if rr:
+                            # residual-replacement mixed CG: f32-cost
+                            # iterations, double-single re-anchoring —
+                            # honest fp64-grade stopping (pcg_gsel_rr)
+                            from ..solver.gsel_solver import pcg_gsel_rr
+
+                            solve = lambda: pcg_gsel_rr(  # noqa: E731
+                                ga_f, b_p.astype(jnp.float64), prec=wprec,
+                                rtol=rtol, max_iter=msize, impl=impl,
+                            )
                         else:
-                            kw["dot_dtype"] = "chunk64"
-                        wres = pcg_gsel(ga_f, b_p, prec=wprec, **kw)
+                            if ds:
+                                kw["precision"] = "ds"
+                            else:
+                                kw["dot_dtype"] = "chunk64"
+                                # device_precision=c64: f64 carrier vectors
+                                # over the f32 SpMV (mixed refinement)
+                                kw["mixed"] = dev_prec == "c64"
+                            solve = lambda: pcg_gsel(  # noqa: E731
+                                ga_f, b_p, prec=wprec, **kw
+                            )
+                        wres = solve()
                         np.asarray(wres.x)
                         t0 = time.perf_counter()
                         for _ in range(repeat):
-                            wres = pcg_gsel(ga_f, b_p, prec=wprec, **kw)
+                            wres = solve()
                             np.asarray(wres.x)
                         dtw = (time.perf_counter() - t0) / repeat
                         stats.put(
@@ -403,10 +421,11 @@ def main(argv=None):
                             b_slot = jnp.asarray(
                                 (a_csr @ r)[sperm], dtype=jnp.float32
                             )
+                            mx = dev_prec == "c64"
                             sres = pcg_gsel(
                                 apl, b_slot, prec=sprec, rtol=rtol,
                                 max_iter=msize, dot_dtype="chunk64",
-                                impl=impl,
+                                impl=impl, mixed=mx,
                             )
                             np.asarray(sres.x)
                             t0 = time.perf_counter()
@@ -414,7 +433,7 @@ def main(argv=None):
                                 sres = pcg_gsel(
                                     apl, b_slot, prec=sprec, rtol=rtol,
                                     max_iter=msize, dot_dtype="chunk64",
-                                    impl=impl,
+                                    impl=impl, mixed=mx,
                                 )
                                 np.asarray(sres.x)
                             dts = (time.perf_counter() - t0) / repeat

@@ -66,7 +66,7 @@ def build_gsel_csr(
     max_q: int = 128,
     group: Optional[int] = None,
     double_single: bool = False,
-    lane_groups: int = 8,
+    lane_groups: int = 1,
     dtype=np.float32,
 ) -> Optional[GselPlanes]:
     """CSR -> gsel planes. With `group=None` (production default) the tile
@@ -74,10 +74,12 @@ def build_gsel_csr(
     candidates; pass an explicit `group` to pin it (shrunk only if it
     violates the VMEM budget). Returns None if unbandable within max_q.
 
-    lane_groups=8 is the production default: the first-fit lane-group slot
-    assignment (csrc/gsel_assign.cpp) cuts the K' padding ~1.6-2.5x, which
-    outweighs the wider one-hot (measured 14.9 vs 26-31 us/CG-iteration at
-    heat n=15.6k)."""
+    lane_groups=1 is the SOLVER default: in-process A/B (docs/PERF.md
+    round-1g) shows the NG-times-wider one-hot outweighs the K' slot
+    shrink for bare SpMV (heat n=117k: 132 vs 291 us/CG-iteration;
+    synthetic n=12k: 121 vs 537). ng=8 still pays off for the slotted GNN
+    forward, whose plane traffic scales with K' times the feature count
+    (gnn/slotted.py keeps lane_groups=8)."""
     import scipy.sparse as sp
 
     a = sp.csr_matrix(a)
@@ -358,5 +360,141 @@ def pcg_gsel_ds(
     b64 = b.reshape(-1).astype(jnp.float64)
     x64, iters, relres, conv = run(
         g_a, b64, jnp.float64(rtol), jnp.int32(max_iter)
+    )
+    return CGResult(x=x64, iters=iters, relres=relres, converged=conv)
+
+
+def pcg_gsel_rr(
+    g_a: GselPlanes,
+    b: jax.Array,
+    prec=None,  # GselSpaiPrec / GselSpaiPrecDS (hi planes used) or None
+    rtol: float = 1e-6,
+    max_iter: int = 1000,
+    replace_every: int = 64,
+    impl: str = "pallas",
+) -> CGResult:
+    """Residual-replacement mixed-precision PCG: f32 iteration cost with
+    HONEST fp64-grade stopping.
+
+    Plain f32 CG's recurrence residual keeps shrinking while the TRUE
+    residual stagnates at ~eps_f32*kappa — on ill-conditioned FEM heat
+    operators the solver claims rtol=1e-6 with true relres ~1e-2. Here the
+    state is a double-single (hi, lo) pair like pcg_gsel_ds, but the
+    per-iteration SpMV and preconditioner run the plain f32 kernels (the
+    Krylov direction quality only affects the convergence RATE); every
+    `replace_every` iterations AND at any candidate convergence the
+    residual is re-anchored to r = b - A x with the double-single SpMV
+    (van der Vorst-Ye style replacement), so the loop can only exit on a
+    truly converged residual. Requires ds-built planes
+    (build_gsel_csr(double_single=True)); cost per iteration is ~the f32
+    path plus one ds SpMV per K iterations.
+    """
+    from functools import partial as _partial
+
+    from ..kernels.ds import (
+        DS,
+        ds_add,
+        ds_axpy,
+        ds_dot,
+        ds_from_f64,
+        ds_scale,
+        ds_sub,
+    )
+    from ..kernels.gsel import gsel_spmv_ds_xla
+    from ..kernels.gsel_pallas import gsel_spmv_ds_pallas
+
+    assert g_a.vals_lo is not None, "build with double_single=True"
+    if isinstance(prec, (GselSpaiPrec, GselSpaiPrecDS)) and prec.impl != impl:
+        prec = dataclasses.replace(prec, impl=impl)
+    spmv_ds = gsel_spmv_ds_pallas if impl == "pallas" else gsel_spmv_ds_xla
+
+    def mv_fast(gp, v: "DS") -> "DS":
+        # f32 SpMV on the hi half — the cheap per-iteration matvec
+        yh = gsel_matvec(gp, v.hi, impl)
+        return DS(yh, jnp.zeros_like(yh))
+
+    def mv_ds(gp, v: "DS") -> "DS":
+        yh, yl = spmv_ds(gp, v.hi, v.lo)
+        return DS(yh, yl)
+
+    def papply(r: "DS") -> "DS":
+        if prec is None:
+            return r
+        lt = mv_fast(prec.l_t, r)
+        eps32 = jnp.float32(prec.epsilon)
+        if prec.inv_diag is not None:
+            dg = prec.inv_diag.astype(jnp.float32)
+            return DS(
+                gsel_matvec(prec.l_fwd, lt.hi * dg, impl)
+                + eps32 * r.hi * dg,
+                jnp.zeros_like(r.hi),
+            )
+        return DS(
+            gsel_matvec(prec.l_fwd, lt.hi, impl) + eps32 * r.hi,
+            jnp.zeros_like(r.hi),
+        )
+
+    @_partial(jax.jit, static_argnames=("k_rep",))
+    def run(g_a, b64, rtol_s, max_it, k_rep):
+        bds = ds_from_f64(b64)
+        x = DS(jnp.zeros_like(bds.hi), jnp.zeros_like(bds.lo))
+        r = bds
+        s = papply(r)
+        delta = ds_dot(r, s)
+        bnorm2 = ds_dot(bds, bds)
+        tol2 = (rtol_s * rtol_s) * jnp.maximum(
+            bnorm2, jnp.finfo(jnp.float64).tiny
+        )
+        rnorm2 = ds_dot(r, r)
+
+        def cond(st):
+            rn2, it = st[4], st[5]
+            return jnp.logical_and(rn2 > tol2, it < max_it)
+
+        def body(st):
+            x, r, d, delta, _, it, rn2_anchor = st
+            q = mv_fast(g_a, d)
+            dq = ds_dot(d, q)
+            alpha = ds_from_f64(delta / dq)
+            nalpha = DS(-alpha.hi, -alpha.lo)
+            x = ds_axpy(alpha, d, x)
+            r = ds_axpy(nalpha, q, r)
+            # re-anchor (van der Vorst-Ye): whenever the recurrence residual
+            # drops well below the last anchored one (the drift accumulated
+            # since that anchor would otherwise swamp it), periodically as a
+            # stagnation fallback, and at any candidate convergence — the
+            # exit test below then sees the TRUE residual
+            rn2_rec = ds_dot(r, r)
+            do_rep = (
+                (rn2_rec <= 0.0625 * rn2_anchor)
+                | ((it + 1) % k_rep == 0)
+                | (rn2_rec <= tol2)
+            )
+            r = jax.lax.cond(
+                do_rep,
+                lambda xr: ds_sub(bds, mv_ds(g_a, xr[0])),
+                lambda xr: xr[1],
+                (x, r),
+            )
+            s = papply(r)
+            delta_new = ds_dot(r, s)
+            beta = ds_from_f64(delta_new / delta)
+            d = ds_add(s, ds_scale(beta, d))
+            rn2 = ds_dot(r, r)
+            rn2_anchor = jnp.where(do_rep, rn2, rn2_anchor)
+            return x, r, d, delta_new, rn2, it + 1, rn2_anchor
+
+        st = (x, r, s, delta, rnorm2, jnp.int32(0), rnorm2)
+        x, r, _, _, rn2, iters, _ = jax.lax.while_loop(cond, body, st)
+        relres = jnp.sqrt(
+            rn2 / jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny)
+        )
+        x64 = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+        return x64, iters, relres, rn2 <= tol2
+
+    b64 = b.reshape(-1).astype(jnp.float64)
+    x64, iters, relres, conv = run(
+        g_a, b64, jnp.float64(rtol), jnp.int32(max_iter),
+        int(replace_every),
     )
     return CGResult(x=x64, iters=iters, relres=relres, converged=conv)
