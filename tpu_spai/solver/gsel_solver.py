@@ -268,6 +268,75 @@ def pcg_gsel(
     )
 
 
+def _ds_papply(prec, r, mv):
+    """Shared SPAI apply on DS pair state (prec=None -> identity)."""
+    from ..kernels.ds import DS, ds_add, ds_from_f64, ds_scale
+
+    if prec is None:
+        return r
+    lt = mv(prec.l_t, r)
+    eps = ds_from_f64(jnp.asarray(prec.epsilon, jnp.float64))
+    eps_r = ds_scale(eps, r)
+    if prec.inv_diag is not None:
+        dg = prec.inv_diag.astype(jnp.float32)
+        lt = DS(lt.hi * dg, lt.lo * dg)  # dg is f32-exact
+        eps_r = DS(eps_r.hi * dg, eps_r.lo * dg)
+    return ds_add(mv(prec.l_fwd, lt), eps_r)
+
+
+def _ds_run(g_a, prec, b64, rtol_s, max_it, impl):
+    """Jittable pair-state PCG (module-level so jit traces are cached
+    across calls — a per-call closure retraced the whole while_loop every
+    solve, ~1.3 s of host time per dispatch)."""
+    from ..kernels.ds import DS, ds_add, ds_axpy, ds_dot, ds_from_f64, ds_scale
+    from ..kernels.gsel import gsel_spmv_ds_xla
+    from ..kernels.gsel_pallas import gsel_spmv_ds_pallas
+
+    spmv = gsel_spmv_ds_pallas if impl == "pallas" else gsel_spmv_ds_xla
+
+    def mv(gp, v):
+        yh, yl = spmv(gp, v.hi, v.lo)
+        return DS(yh, yl)
+
+    bds = ds_from_f64(b64)
+    n = b64.shape[0]
+    x = DS(jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+    r = bds
+    s = _ds_papply(prec, r, mv)
+    delta = ds_dot(r, s)
+    bnorm2 = ds_dot(bds, bds)
+    tol2 = (rtol_s * rtol_s) * jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny)
+    rnorm2 = ds_dot(r, r)
+
+    def cond(st):
+        *_, rn2, it = st
+        return jnp.logical_and(rn2 > tol2, it < max_it)
+
+    def body(st):
+        x, r, d, delta, _, it = st
+        q = mv(g_a, d)
+        dq = ds_dot(d, q)
+        alpha = ds_from_f64(delta / dq)
+        nalpha = DS(-alpha.hi, -alpha.lo)
+        x = ds_axpy(alpha, d, x)
+        r = ds_axpy(nalpha, q, r)
+        s = _ds_papply(prec, r, mv)
+        delta_new = ds_dot(r, s)
+        beta = ds_from_f64(delta_new / delta)
+        d = ds_add(s, ds_scale(beta, d))
+        rn2 = ds_dot(r, r)
+        return x, r, d, delta_new, rn2, it + 1
+
+    st = (x, r, s, delta, rnorm2, jnp.int32(0))
+    x, r, _, _, rn2, iters = jax.lax.while_loop(cond, body, st)
+    relres = jnp.sqrt(rn2 / jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny))
+    x64 = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+    return x64, iters, relres, rn2 <= tol2
+
+
+_ds_run_jit = jax.jit(_ds_run, static_argnames=("impl",))
+
+
 def pcg_gsel_ds(
     g_a: GselPlanes,
     b: jax.Array,  # [n] f64 (or any dtype, upcast)
@@ -283,85 +352,101 @@ def pcg_gsel_ds(
     emulated-f64 vector arithmetic (10-30x slower on TPU). Replaces the
     reference's fp64 CUDA solves (validate.py:27) for rtol <= 1e-8 sweeps.
     """
-    from functools import partial as _partial
-
-    from ..kernels.ds import (
-        DS,
-        ds_axpy,
-        ds_dot,
-        ds_from_f64,
-        ds_scale,
-        ds_sub,
-        ds_add,
-        two_prod,
+    if isinstance(prec, (GselSpaiPrec, GselSpaiPrecDS)) and prec.impl != impl:
+        prec = dataclasses.replace(prec, impl=impl)
+    b64 = b.reshape(-1).astype(jnp.float64)
+    x64, iters, relres, conv = _ds_run_jit(
+        g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter), impl
     )
+    return CGResult(x=x64, iters=iters, relres=relres, converged=conv)
+
+
+def _rr_run(g_a, prec, b64, rtol_s, max_it, impl, k_rep):
+    """Jittable residual-replacement PCG (module-level: see _ds_run)."""
+    from ..kernels.ds import DS, ds_add, ds_axpy, ds_dot, ds_from_f64, ds_scale, ds_sub
     from ..kernels.gsel import gsel_spmv_ds_xla
     from ..kernels.gsel_pallas import gsel_spmv_ds_pallas
 
-    if isinstance(prec, (GselSpaiPrec, GselSpaiPrecDS)) and prec.impl != impl:
-        prec = dataclasses.replace(prec, impl=impl)
-    spmv = gsel_spmv_ds_pallas if impl == "pallas" else gsel_spmv_ds_xla
+    spmv_ds = gsel_spmv_ds_pallas if impl == "pallas" else gsel_spmv_ds_xla
 
-    def mv(gp, v: "DS") -> "DS":
-        yh, yl = spmv(gp, v.hi, v.lo)
+    def mv_fast(gp, v):
+        yh = gsel_matvec(gp, v.hi, impl)
+        return DS(yh, jnp.zeros_like(yh))
+
+    def mv_ds(gp, v):
+        yh, yl = spmv_ds(gp, v.hi, v.lo)
         return DS(yh, yl)
 
-    def papply(r: "DS") -> "DS":
+    def papply(r):
         if prec is None:
             return r
-        lt = mv(prec.l_t, r)
-        eps = ds_from_f64(jnp.asarray(prec.epsilon, jnp.float64))
-        eps_r = ds_scale(eps, r)
+        lt = mv_fast(prec.l_t, r)
+        eps32 = jnp.float32(prec.epsilon)
         if prec.inv_diag is not None:
-            d = DS(prec.inv_diag.astype(jnp.float32),
-                   jnp.zeros_like(prec.inv_diag, dtype=jnp.float32))
-            lt = DS(lt.hi * d.hi, lt.lo * d.hi)  # d is f32-exact
-            eps_r = DS(eps_r.hi * d.hi, eps_r.lo * d.hi)
-        return ds_add(mv(prec.l_fwd, lt), eps_r)
+            dg = prec.inv_diag.astype(jnp.float32)
+            return DS(
+                gsel_matvec(prec.l_fwd, lt.hi * dg, impl) + eps32 * r.hi * dg,
+                jnp.zeros_like(r.hi),
+            )
+        return DS(
+            gsel_matvec(prec.l_fwd, lt.hi, impl) + eps32 * r.hi,
+            jnp.zeros_like(r.hi),
+        )
 
-    @_partial(jax.jit, static_argnames=())
-    def run(g_a, b64, rtol_s, max_it):
-        bds = ds_from_f64(b64)
-        n = b64.shape[0]
-        zero = DS(jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
-        x = zero
-        r = bds
+    bds = ds_from_f64(b64)
+    x = DS(jnp.zeros_like(bds.hi), jnp.zeros_like(bds.lo))
+    r = bds
+    s = papply(r)
+    delta = ds_dot(r, s)
+    bnorm2 = ds_dot(bds, bds)
+    tol2 = (rtol_s * rtol_s) * jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny)
+    rnorm2 = ds_dot(r, r)
+
+    def cond(st):
+        rn2, it = st[4], st[5]
+        return jnp.logical_and(rn2 > tol2, it < max_it)
+
+    def body(st):
+        x, r, d, delta, _, it, rn2_anchor = st
+        q = mv_fast(g_a, d)
+        dq = ds_dot(d, q)
+        alpha = ds_from_f64(delta / dq)
+        nalpha = DS(-alpha.hi, -alpha.lo)
+        x = ds_axpy(alpha, d, x)
+        r = ds_axpy(nalpha, q, r)
+        # re-anchor (van der Vorst-Ye): whenever the recurrence residual
+        # drops well below the last anchored one (the drift accumulated
+        # since that anchor would otherwise swamp it), periodically as a
+        # stagnation fallback, and at any candidate convergence — the
+        # exit test below then sees the TRUE residual
+        rn2_rec = ds_dot(r, r)
+        do_rep = (
+            (rn2_rec <= 0.0625 * rn2_anchor)
+            | ((it + 1) % k_rep == 0)
+            | (rn2_rec <= tol2)
+        )
+        r = jax.lax.cond(
+            do_rep,
+            lambda xr: ds_sub(bds, mv_ds(g_a, xr[0])),
+            lambda xr: xr[1],
+            (x, r),
+        )
         s = papply(r)
-        delta = ds_dot(r, s)
-        bnorm2 = ds_dot(bds, bds)
-        tol2 = (rtol_s * rtol_s) * jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny)
-        rnorm2 = ds_dot(r, r)
+        delta_new = ds_dot(r, s)
+        beta = ds_from_f64(delta_new / delta)
+        d = ds_add(s, ds_scale(beta, d))
+        rn2 = ds_dot(r, r)
+        rn2_anchor = jnp.where(do_rep, rn2, rn2_anchor)
+        return x, r, d, delta_new, rn2, it + 1, rn2_anchor
 
-        def cond(st):
-            *_, rn2, it = st
-            return jnp.logical_and(rn2 > tol2, it < max_it)
+    st = (x, r, s, delta, rnorm2, jnp.int32(0), rnorm2)
+    x, r, _, _, rn2, iters, _ = jax.lax.while_loop(cond, body, st)
+    relres = jnp.sqrt(rn2 / jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny))
+    x64 = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+    return x64, iters, relres, rn2 <= tol2
 
-        def body(st):
-            x, r, d, delta, _, it = st
-            q = mv(g_a, d)
-            dq = ds_dot(d, q)
-            alpha = ds_from_f64(delta / dq)
-            nalpha = DS(-alpha.hi, -alpha.lo)
-            x = ds_axpy(alpha, d, x)
-            r = ds_axpy(nalpha, q, r)
-            s = papply(r)
-            delta_new = ds_dot(r, s)
-            beta = ds_from_f64(delta_new / delta)
-            d = ds_add(s, ds_scale(beta, d))
-            rn2 = ds_dot(r, r)
-            return x, r, d, delta_new, rn2, it + 1
 
-        st = (x, r, s, delta, rnorm2, jnp.int32(0))
-        x, r, _, _, rn2, iters = jax.lax.while_loop(cond, body, st)
-        relres = jnp.sqrt(rn2 / jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny))
-        x64 = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
-        return x64, iters, relres, rn2 <= tol2
-
-    b64 = b.reshape(-1).astype(jnp.float64)
-    x64, iters, relres, conv = run(
-        g_a, b64, jnp.float64(rtol), jnp.int32(max_iter)
-    )
-    return CGResult(x=x64, iters=iters, relres=relres, converged=conv)
+_rr_run_jit = jax.jit(_rr_run, static_argnames=("impl", "k_rep"))
 
 
 def pcg_gsel_rr(
@@ -381,120 +466,19 @@ def pcg_gsel_rr(
     operators the solver claims rtol=1e-6 with true relres ~1e-2. Here the
     state is a double-single (hi, lo) pair like pcg_gsel_ds, but the
     per-iteration SpMV and preconditioner run the plain f32 kernels (the
-    Krylov direction quality only affects the convergence RATE); every
-    `replace_every` iterations AND at any candidate convergence the
+    Krylov direction quality only affects the convergence RATE); the
     residual is re-anchored to r = b - A x with the double-single SpMV
-    (van der Vorst-Ye style replacement), so the loop can only exit on a
-    truly converged residual. Requires ds-built planes
-    (build_gsel_csr(double_single=True)); cost per iteration is ~the f32
-    path plus one ds SpMV per K iterations.
+    adaptively (van der Vorst-Ye), so the loop can only exit on a truly
+    converged residual. Requires ds-built planes
+    (build_gsel_csr(double_single=True)). Measured on v5e at heat
+    n=15,625: 51 us/iteration vs 23 f32 / 90 ds.
     """
-    from functools import partial as _partial
-
-    from ..kernels.ds import (
-        DS,
-        ds_add,
-        ds_axpy,
-        ds_dot,
-        ds_from_f64,
-        ds_scale,
-        ds_sub,
-    )
-    from ..kernels.gsel import gsel_spmv_ds_xla
-    from ..kernels.gsel_pallas import gsel_spmv_ds_pallas
-
     assert g_a.vals_lo is not None, "build with double_single=True"
     if isinstance(prec, (GselSpaiPrec, GselSpaiPrecDS)) and prec.impl != impl:
         prec = dataclasses.replace(prec, impl=impl)
-    spmv_ds = gsel_spmv_ds_pallas if impl == "pallas" else gsel_spmv_ds_xla
-
-    def mv_fast(gp, v: "DS") -> "DS":
-        # f32 SpMV on the hi half — the cheap per-iteration matvec
-        yh = gsel_matvec(gp, v.hi, impl)
-        return DS(yh, jnp.zeros_like(yh))
-
-    def mv_ds(gp, v: "DS") -> "DS":
-        yh, yl = spmv_ds(gp, v.hi, v.lo)
-        return DS(yh, yl)
-
-    def papply(r: "DS") -> "DS":
-        if prec is None:
-            return r
-        lt = mv_fast(prec.l_t, r)
-        eps32 = jnp.float32(prec.epsilon)
-        if prec.inv_diag is not None:
-            dg = prec.inv_diag.astype(jnp.float32)
-            return DS(
-                gsel_matvec(prec.l_fwd, lt.hi * dg, impl)
-                + eps32 * r.hi * dg,
-                jnp.zeros_like(r.hi),
-            )
-        return DS(
-            gsel_matvec(prec.l_fwd, lt.hi, impl) + eps32 * r.hi,
-            jnp.zeros_like(r.hi),
-        )
-
-    @_partial(jax.jit, static_argnames=("k_rep",))
-    def run(g_a, b64, rtol_s, max_it, k_rep):
-        bds = ds_from_f64(b64)
-        x = DS(jnp.zeros_like(bds.hi), jnp.zeros_like(bds.lo))
-        r = bds
-        s = papply(r)
-        delta = ds_dot(r, s)
-        bnorm2 = ds_dot(bds, bds)
-        tol2 = (rtol_s * rtol_s) * jnp.maximum(
-            bnorm2, jnp.finfo(jnp.float64).tiny
-        )
-        rnorm2 = ds_dot(r, r)
-
-        def cond(st):
-            rn2, it = st[4], st[5]
-            return jnp.logical_and(rn2 > tol2, it < max_it)
-
-        def body(st):
-            x, r, d, delta, _, it, rn2_anchor = st
-            q = mv_fast(g_a, d)
-            dq = ds_dot(d, q)
-            alpha = ds_from_f64(delta / dq)
-            nalpha = DS(-alpha.hi, -alpha.lo)
-            x = ds_axpy(alpha, d, x)
-            r = ds_axpy(nalpha, q, r)
-            # re-anchor (van der Vorst-Ye): whenever the recurrence residual
-            # drops well below the last anchored one (the drift accumulated
-            # since that anchor would otherwise swamp it), periodically as a
-            # stagnation fallback, and at any candidate convergence — the
-            # exit test below then sees the TRUE residual
-            rn2_rec = ds_dot(r, r)
-            do_rep = (
-                (rn2_rec <= 0.0625 * rn2_anchor)
-                | ((it + 1) % k_rep == 0)
-                | (rn2_rec <= tol2)
-            )
-            r = jax.lax.cond(
-                do_rep,
-                lambda xr: ds_sub(bds, mv_ds(g_a, xr[0])),
-                lambda xr: xr[1],
-                (x, r),
-            )
-            s = papply(r)
-            delta_new = ds_dot(r, s)
-            beta = ds_from_f64(delta_new / delta)
-            d = ds_add(s, ds_scale(beta, d))
-            rn2 = ds_dot(r, r)
-            rn2_anchor = jnp.where(do_rep, rn2, rn2_anchor)
-            return x, r, d, delta_new, rn2, it + 1, rn2_anchor
-
-        st = (x, r, s, delta, rnorm2, jnp.int32(0), rnorm2)
-        x, r, _, _, rn2, iters, _ = jax.lax.while_loop(cond, body, st)
-        relres = jnp.sqrt(
-            rn2 / jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny)
-        )
-        x64 = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
-        return x64, iters, relres, rn2 <= tol2
-
     b64 = b.reshape(-1).astype(jnp.float64)
-    x64, iters, relres, conv = run(
-        g_a, b64, jnp.float64(rtol), jnp.int32(max_iter),
+    x64, iters, relres, conv = _rr_run_jit(
+        g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter), impl,
         int(replace_every),
     )
     return CGResult(x=x64, iters=iters, relres=relres, converged=conv)
