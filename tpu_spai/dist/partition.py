@@ -57,9 +57,23 @@ class PartitionedSystem:
 
 
 def rcm_permutation(a: sp.spmatrix) -> np.ndarray:
+    """Bandwidth-reducing row permutation: reverse Cuthill-McKee, kept only
+    when it actually reduces the bandwidth. scipy's RCM can WORSEN an
+    already-banded ordering (structured res=24 tet box: natural bw 650 ->
+    RCM 1518, inflating the gsel slot count 2x) — the identity is the
+    correct fallback for meshes generated in a banded node order."""
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-    return np.asarray(reverse_cuthill_mckee(sp.csr_matrix(a), symmetric_mode=True))
+    a = sp.csr_matrix(a)
+    perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True))
+    coo = a.tocoo()
+    bw_nat = int(np.abs(coo.row - coo.col).max()) if coo.nnz else 0
+    pos = np.empty_like(perm)
+    pos[perm] = np.arange(len(perm))
+    bw_rcm = int(np.abs(pos[coo.row] - pos[coo.col]).max()) if coo.nnz else 0
+    if bw_rcm >= bw_nat:
+        return np.arange(a.shape[0])
+    return perm
 
 
 def partition_system(
