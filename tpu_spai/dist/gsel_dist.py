@@ -45,7 +45,7 @@ class PartitionedGsel:
     """Per-shard gsel planes, stacked on a leading shard axis."""
 
     onehot: jax.Array  # int8 [P, S, GK', Qg]
-    lidx: jax.Array  # int32 [P, S, GK', T]
+    lidx: jax.Array  # int8 [P, S, GK', T]
     vals: jax.Array  # f32  [P, S, GK', T]
     group_base: jax.Array  # int32 [P, S]
     n_shards: int = _static(default=1)
@@ -122,7 +122,7 @@ def partition_gsel(
     def pad(p: GselPlanes):
         gk_new = grp * kp
         oh = np.zeros((n_steps, gk_new, qg), np.int8)
-        li = np.zeros((n_steps, gk_new, t), np.int32)
+        li = np.zeros((n_steps, gk_new, t), np.int8)
         va = np.zeros((n_steps, gk_new, t), np.float32)
         gk_old = grp * p.k_width
         # k-major rows: old row k*G+g maps to the same index (k < old K')

@@ -181,8 +181,9 @@ def gather_feats_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
             xw,
             precision=jax.lax.Precision.HIGHEST,
         )
+        li32 = li.astype(jnp.int32)
         gv = jnp.take_along_axis(
-            op, jnp.broadcast_to(li[None], (nf,) + li.shape), axis=2
+            op, jnp.broadcast_to(li32[None], (nf,) + li32.shape), axis=2
         )
         return carry, gv
 
@@ -197,7 +198,7 @@ def _gather_kernel(nf: int, qg: int, gk: int, ng: int = 1):
         s = pl.program_id(0)
         base = base_ref[s]
         oh = oh_ref[0].astype(jnp.float32)  # [GK', NG*Qg]
-        li = l_ref[0]  # [GK', T]
+        li = l_ref[0].astype(jnp.int32)  # [GK', T], stored int8
         xw = expand_window(x_ref[:, pl.ds(base, qg), :], ng)  # [F,NG*Qg,128]
         oh_b = jnp.broadcast_to(oh[None], (nf,) + oh.shape)
         op = jax.lax.dot_general(

@@ -135,7 +135,7 @@ def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
         s = pl.program_id(0)
         base = base_ref[s]
         oh = oh_ref[0].astype(jnp.float32)  # [GK', NG*Qg]
-        li = l_ref[0]
+        li = l_ref[0].astype(jnp.int32)  # stored int8
         xw = expand_window(x_ref[:, pl.ds(base, qg), :], ng)
         oh_b = jnp.broadcast_to(oh[None], (nf,) + oh.shape)
         op = jax.lax.dot_general(

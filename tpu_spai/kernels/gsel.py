@@ -57,10 +57,16 @@ def _static(**kw):
 class GselPlanes:
     """Grouped-ELL planes for one sparse operator (see module docstring).
 
-    onehot: int8 [S, G*K', Qg]  window-chunk one-hot per slot row
-    lidx:   int32 [S, G*K', T]  lane index of each slot's column
-    vals:   f32   [S, G*K', T]  slot values (0 in padding)
-    group_base: int32 [S]       first x-chunk of each group's window
+    onehot: int8 [S, G*K', NG*Qg] window-chunk one-hot per slot row
+    lidx:   int8 [S, G*K', T]    lane index (< 128) of each slot's column
+    vals:   f32  [S, G*K', T]    slot values (0 in padding)
+    group_base: int32 [S]        first x-chunk of each group's window
+
+    lidx is int8 deliberately: the plane stream is the SpMV bound at
+    large n and i32 lane indices were 3 of its ~8 bytes/slot — measured
+    ~7-15% whole-kernel win at n=117k (docs/PERF.md round-1j; the same
+    study rejected expanding the one-hot in-kernel from a chunk map,
+    which costs a lane->sublane broadcast per grid step).
     """
 
     onehot: jax.Array
@@ -231,7 +237,7 @@ def build_gsel(
 
     return GselPlanes(
         onehot=jnp.asarray(kmajor(onehot)),
-        lidx=jnp.asarray(kmajor(lidx)),
+        lidx=jnp.asarray(kmajor(lidx).astype(np.int8)),
         vals=jnp.asarray(kmajor(vals)),
         vals_lo=None if vals_lo is None else jnp.asarray(kmajor(vals_lo)),
         group_base=jnp.asarray(gbase.astype(np.int32)),
@@ -282,7 +288,7 @@ def gsel_spmv_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
     grp, kp, t = g.group, g.k_width, g.tile
 
     def step_body(carry, inp):
-        oh, li, v, base = inp  # [GK,NG*Qg] i8, [GK,T] i32, [GK,T] f32, scalar
+        oh, li, v, base = inp  # [GK,NG*Qg] i8, [GK,T] i8, [GK,T] f32, scalar
         xw = expand_window(
             jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE)),
             g.lane_groups,
@@ -290,7 +296,7 @@ def gsel_spmv_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
         op = jnp.dot(
             oh.astype(g.vals.dtype), xw, precision=jax.lax.Precision.HIGHEST
         )  # [GK, 128]
-        gv = jnp.take_along_axis(op, li, axis=1)  # [GK, T]
+        gv = jnp.take_along_axis(op, li.astype(jnp.int32), axis=1)  # [GK, T]
         y = jnp.sum((v * gv).reshape(kp, grp, t), axis=0)  # [G, T]
         return carry, y
 
@@ -322,7 +328,7 @@ def gsel_spmv_ds_xla(g: GselPlanes, x_hi: jax.Array, x_lo: jax.Array):
             g.lane_groups,
         )
         op = jnp.dot(oh.astype(jnp.float64), xw)
-        gv = jnp.take_along_axis(op, li, axis=1)
+        gv = jnp.take_along_axis(op, li.astype(jnp.int32), axis=1)
         v64 = vh.astype(jnp.float64) + vl.astype(jnp.float64)
         y = jnp.sum((v64 * gv).reshape(kp, grp, t), axis=0)
         return carry, y

@@ -61,7 +61,8 @@ def _kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1):
     def kernel(base_ref, oh_ref, l_ref, v_ref, x_ref, out_ref):
         s = pl.program_id(0)
         oh = oh_ref[0].astype(jnp.float32)  # [GK', NG*Qg]
-        gv = _chunk_select_gather(base_ref[s], oh, x_ref, l_ref[0], qg, ng)
+        l_idx = l_ref[0].astype(jnp.int32)  # lidx stored int8
+        gv = _chunk_select_gather(base_ref[s], oh, x_ref, l_idx, qg, ng)
         prod = (v_ref[0] * gv).reshape(kp, group, tile)
         out_ref[0] = jnp.sum(prod, axis=0)  # [G, T]
 
@@ -126,7 +127,7 @@ def _ds_kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1):
         s = pl.program_id(0)
         base = base_ref[s]
         oh = oh_ref[0].astype(jnp.float32)
-        l_idx = l_ref[0]
+        l_idx = l_ref[0].astype(jnp.int32)
         # phase 1 (vectorized): gather hi/lo x per slot into VMEM scratch
         gh_ref[...] = _chunk_select_gather(
             base, oh, xh_ref, l_idx, qg, ng

@@ -52,10 +52,13 @@ _STEP_US = 0.33  # us per grid step
 
 
 def _step_bytes(g: GselPlanes, lane_groups: int) -> int:
+    # input blocks per grid step: onehot i8 [GK', NG*Qg], lidx i8
+    # [GK', T], vals f32 [GK', T], out f32 [G, T]
     gk = g.group * g.k_width
     return (
         gk * g.q_chunks * lane_groups
-        + 2 * gk * g.tile * 4
+        + gk * g.tile
+        + gk * g.tile * 4
         + g.group * g.tile * 4
     )
 
