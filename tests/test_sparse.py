@@ -114,3 +114,49 @@ def test_edge_padding(rng):
         n_valid_edges=nnz,
     )
     np.testing.assert_allclose(back.toarray(), a.toarray(), atol=1e-14)
+
+
+def test_collate_fast_ell_matches_attach_ell():
+    """collate's cached per-sample ELL assembly must equal attach_ell on
+    the concatenated batch graph exactly (indices, masks, perm, values)."""
+    import scipy.sparse as sp
+
+    from tpu_spai.data.batching import collate
+    from tpu_spai.data.sample import GraphSample
+    from tpu_spai.sparse.bcoo import attach_ell
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        a = sp.random(n, n, density=0.08, random_state=r, format="coo")
+        a = sp.coo_matrix(a + a.T + sp.eye(n))
+        e = a.nnz
+        return GraphSample(
+            x=r.standard_normal((n, 2)).astype(np.float32),
+            edge_index=np.stack([a.row, a.col]).astype(np.int64),
+            edge_attr=r.standard_normal((e, 3)).astype(np.float32),
+            matrix_values=a.data.reshape(e, 1, 1).astype(np.float32),
+            mask=np.ones((n, 1), np.float32),
+            residual=r.standard_normal((n, 1)).astype(np.float32),
+            num_nodes=n,
+            block_size=1,
+        )
+
+    samples = [mk(37, 1), mk(55, 2), mk(23, 3)]
+    batch = collate(samples, node_bucket=256, edge_bucket=1024)
+    e_total = sum(s.edge_index.shape[1] for s in samples)
+    ref = attach_ell(batch.graph, n_valid=e_total, freeze=True)
+    for view in ("ell", "ell_t"):
+        got, want = getattr(batch.graph, view), getattr(ref, view)
+        for plane in ("ell_edge", "ell_col", "ell_mask"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, plane)), np.asarray(getattr(want, plane))
+            )
+    np.testing.assert_array_equal(
+        np.asarray(batch.graph.transpose_perm), np.asarray(ref.transpose_perm)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batch.graph.ell_vals), np.asarray(ref.ell_vals)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batch.graph.ell_vals_t), np.asarray(ref.ell_vals_t)
+    )

@@ -23,11 +23,77 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sparse.bcoo import BlockGraph, attach_ell
+from ..sparse.bcoo import (
+    BlockGraph,
+    EllView,
+    attach_ell,
+    host_ell_planes,
+    transpose_permutation,
+)
 
 
 def _static(**kw):
     return field(metadata=dict(static=True), **kw)
+
+
+# Per-sample host ELL planes + transpose permutation, keyed by topology.
+# The argsorts/lexsorts behind them cost ~0.4 s/sample at reference scale
+# (E~270k) and are pure per-topology quantities; re-deriving them per
+# training step made collate the dominant step cost. Batch planes are
+# assembled from the cached per-sample planes by offset concatenation,
+# which is EXACTLY what build_ell produces on the block-diagonal batch
+# graph (disjoint node ranges; stable row sort groups per sample).
+_SAMPLE_ELL_CACHE: dict = {}
+_SAMPLE_ELL_CACHE_MAX = 1024
+
+
+def _sample_host_ell(s):
+    ei = np.asarray(s.edge_index)
+    rows = np.ascontiguousarray(ei[0])
+    cols = np.ascontiguousarray(ei[1])
+    key = (
+        int(s.num_nodes),
+        rows.shape[0],
+        hash(rows.tobytes()),
+        hash(cols.tobytes()),
+    )
+    hit = _SAMPLE_ELL_CACHE.get(key)
+    if hit is None:
+        fwd = host_ell_planes(rows, cols, s.num_nodes)
+        bwd = host_ell_planes(cols, rows, s.num_nodes)
+        try:
+            perm = transpose_permutation(rows, cols)
+        except ValueError:
+            perm = None
+        if len(_SAMPLE_ELL_CACHE) >= _SAMPLE_ELL_CACHE_MAX:
+            _SAMPLE_ELL_CACHE.clear()
+        hit = (fwd, bwd, perm)
+        _SAMPLE_ELL_CACHE[key] = hit
+    return hit
+
+
+def _assemble_ell(parts, n_offs, e_offs, sizes, n_pad, width):
+    """Concatenate per-sample [K_s, n_s] ELL planes into batch [K, n_pad].
+
+    `width` is a bucketing hint: planes pad up to it so mixed batches share
+    one compiled program; a batch exceeding it just compiles a wider one.
+    """
+    k = max(p[0].shape[0] for p in parts)
+    k = max(k, width or 0)
+    ell_edge = np.zeros((k, n_pad), np.int32)
+    ell_col = np.zeros((k, n_pad), np.int32)
+    ell_mask = np.zeros((k, n_pad), np.float32)
+    for (pe, pc, pm), noff, eoff, n_s in zip(parts, n_offs, e_offs, sizes):
+        ks = pe.shape[0]
+        valid = pm.astype(bool)
+        ell_edge[:ks, noff : noff + n_s] = np.where(valid, pe + eoff, 0)
+        ell_col[:ks, noff : noff + n_s] = np.where(valid, pc + noff, 0)
+        ell_mask[:ks, noff : noff + n_s] = pm
+    return EllView(
+        ell_edge=jnp.asarray(ell_edge),
+        ell_col=jnp.asarray(ell_col),
+        ell_mask=jnp.asarray(ell_mask),
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -133,9 +199,30 @@ def collate(
         block_size=b,
     )
     if with_ell:
-        # freeze A's ELL value planes (reused by every loss-side spmv);
-        # the GNN factor goes through with_blocks() which drops them
-        graph = attach_ell(graph, n_valid=e_total, width=ell_width, freeze=True)
+        # batch ELL views from cached per-sample planes (identical to
+        # attach_ell on the concatenated graph, without its per-step
+        # argsort/lexsort cost); freeze A's ELL value planes (reused by
+        # every loss-side spmv) — the GNN factor goes through
+        # with_blocks() which drops them
+        parts = [_sample_host_ell(s) for s in samples]
+        n_offs = np.cumsum([0] + [s.num_nodes for s in samples])[:-1]
+        e_offs = np.cumsum([0] + [s.edge_index.shape[1] for s in samples])[:-1]
+        sizes = [s.num_nodes for s in samples]
+        ell = _assemble_ell(
+            [p[0] for p in parts], n_offs, e_offs, sizes, n_pad, ell_width
+        )
+        ell_t = _assemble_ell(
+            [p[1] for p in parts], n_offs, e_offs, sizes, n_pad, ell_width
+        )
+        perm_arr = None
+        if all(p[2] is not None for p in parts):
+            perm = np.arange(e_pad, dtype=np.int32)
+            for p, eoff in zip(parts, e_offs):
+                perm[eoff : eoff + len(p[2])] = p[2] + eoff
+            perm_arr = jnp.asarray(perm)
+        graph = dataclasses.replace(
+            graph, ell=ell, ell_t=ell_t, transpose_perm=perm_arr
+        ).freeze_values()
 
     def opt(namefn):
         vals = [namefn(s) for s in samples]

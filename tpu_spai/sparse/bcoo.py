@@ -166,21 +166,19 @@ def transpose_permutation(edge_row: np.ndarray, edge_col: np.ndarray) -> np.ndar
     return perm.astype(np.int32)
 
 
-def build_ell(
+def host_ell_planes(
     edge_row: np.ndarray,
     edge_col: np.ndarray,
     n_nodes: int,
     n_valid: Optional[int] = None,
     width: Optional[int] = None,
     mask_dtype=np.float32,
-) -> EllView:
-    """Build transposed padded-row index planes for
-    ``y[i] = sum_j A[i,j] x[j]``.
+):
+    """numpy core of `build_ell`: (ell_edge, ell_col, ell_mask) host arrays.
 
-    Args:
-      edge_row/edge_col: block-level COO indices, possibly padded at the end.
-      n_valid: number of real edges (padding beyond is ignored).
-      width: pad rows to at least this many slots (bucketing across samples).
+    Kept host-side so the data pipeline can cache per-sample planes and
+    assemble batch planes by concatenation (data/batching.py) — the
+    argsort here is the expensive part and is per-topology, not per-step.
     """
     n_valid = len(edge_row) if n_valid is None else n_valid
     rows = np.asarray(edge_row[:n_valid])
@@ -199,6 +197,28 @@ def build_ell(
     ell_edge[slot, rows[order]] = order
     ell_col[slot, rows[order]] = cols[order]
     ell_mask[slot, rows[order]] = 1
+    return ell_edge, ell_col, ell_mask
+
+
+def build_ell(
+    edge_row: np.ndarray,
+    edge_col: np.ndarray,
+    n_nodes: int,
+    n_valid: Optional[int] = None,
+    width: Optional[int] = None,
+    mask_dtype=np.float32,
+) -> EllView:
+    """Build transposed padded-row index planes for
+    ``y[i] = sum_j A[i,j] x[j]``.
+
+    Args:
+      edge_row/edge_col: block-level COO indices, possibly padded at the end.
+      n_valid: number of real edges (padding beyond is ignored).
+      width: pad rows to at least this many slots (bucketing across samples).
+    """
+    ell_edge, ell_col, ell_mask = host_ell_planes(
+        edge_row, edge_col, n_nodes, n_valid, width, mask_dtype
+    )
     return EllView(
         ell_edge=jnp.asarray(ell_edge),
         ell_col=jnp.asarray(ell_col),

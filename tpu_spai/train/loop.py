@@ -19,6 +19,7 @@ neural preconditioner and host scipy CG for classical baselines.
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -43,18 +44,24 @@ def _make_batches(indices: Sequence[int], batch_size: int, rng: np.random.Genera
 
 
 def _bucket_sizes(dataset, indices, batch_size) -> Dict[str, int]:
-    """Upper-bound node/edge counts for any batch, for stable padding."""
-    ns, es = [], []
+    """Upper-bound node/edge counts (and ELL width) for any batch, for
+    stable padding — every batch then reuses one compiled step."""
+    ns, es, ks = [], [], []
     probe = indices[: min(len(indices), 64)]
     for i in probe:
         s = dataset.get(i)
         ns.append(s.num_nodes)
         es.append(s.edge_index.shape[1])
+        ks.append(int(np.bincount(np.asarray(s.edge_index[0])).max()))
     n_max = max(ns) * batch_size
     e_max = max(es) * batch_size
     from ..data.batching import _bucket
 
-    return {"node_bucket": _bucket(n_max), "edge_bucket": _bucket(e_max)}
+    return {
+        "node_bucket": _bucket(n_max),
+        "edge_bucket": _bucket(e_max),
+        "ell_width": max(ks),
+    }
 
 
 def check_convergence(
@@ -183,8 +190,39 @@ def fit(
     buckets = _bucket_sizes(dataset, list(range(len(dataset))), batch_size)
     log.info(f"buckets: {buckets}; train={len(train_idx)} val={len(val_idx)}")
 
+    # Device-resident batch cache: with small per-family datasets the set
+    # of (shuffled) batch compositions is small, and re-collating +
+    # re-transferring ~tens of MB of planes per step dominated step time
+    # on the remote-TPU relay. Keyed by exact id order (identical batch =>
+    # identical training semantics); byte-capped FIFO.
+    cache_cap = int(
+        os.environ.get("TPU_SPAI_BATCH_CACHE_BYTES", 2 * 1024**3)
+    )
+    batch_cache: Dict[tuple, GraphBatch] = {}
+    cache_bytes = [0]
+
+    def _batch_nbytes(b: GraphBatch) -> int:
+        return sum(
+            x.nbytes
+            for x in jax.tree_util.tree_leaves(b)
+            if hasattr(x, "nbytes")
+        )
+
     def get_batch(ids) -> GraphBatch:
-        return collate([dataset.get(i) for i in ids], **buckets)
+        key = tuple(int(i) for i in ids)
+        hit = batch_cache.get(key)
+        if hit is not None:
+            return hit
+        batch = collate([dataset.get(i) for i in ids], **buckets)
+        if cache_cap > 0:
+            nb = _batch_nbytes(batch)
+            while batch_cache and cache_bytes[0] + nb > cache_cap:
+                _, old = batch_cache.popitem()
+                cache_bytes[0] -= _batch_nbytes(old)
+            if nb <= cache_cap:
+                batch_cache[key] = batch
+                cache_bytes[0] += nb
+        return batch
 
     example = get_batch(train_idx[:batch_size])
     params = (
