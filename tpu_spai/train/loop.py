@@ -37,7 +37,23 @@ from .optim import create_optimizer
 log = get_logger()
 
 
-def _make_batches(indices: Sequence[int], batch_size: int, rng: np.random.Generator):
+def _make_batches(
+    indices: Sequence[int],
+    batch_size: int,
+    rng: np.random.Generator,
+    pool: Optional[List[np.ndarray]] = None,
+):
+    """Batch compositions for one epoch.
+
+    Default: full reshuffle (the reference's DataLoader semantics). With a
+    `pool` (trainer.batch_pool > 0), epoch batches are drawn from a fixed
+    set of compositions and only their ORDER is shuffled — on a remote-TPU
+    relay this keeps every batch in the device-resident batch cache
+    instead of re-transferring tens of MB per step."""
+    if pool is not None:
+        part = pool[rng.integers(len(pool))]
+        order = rng.permutation(len(part))
+        return [part[i] for i in order]
     idx = np.array(indices)
     rng.shuffle(idx)
     return [idx[i : i + batch_size] for i in range(0, len(idx), batch_size)]
@@ -278,17 +294,38 @@ def fit(
     if fast_dev:
         max_epochs = 1
 
+    pool = None
+    pool_n = int(tcfg.get("batch_pool", 0))
+    if pool_n > 0:
+        # pool_n fixed epoch partitions; each epoch picks one and shuffles
+        # its order — every sample still seen once per epoch
+        prng = np.random.default_rng(seed + 1)
+        pool = [_make_batches(train_idx, batch_size, prng) for _ in range(pool_n)]
+        log.info(
+            f"batch pool: {pool_n} fixed partitions "
+            f"({sum(len(p) for p in pool)} compositions)"
+        )
+
     step = 0
+    step_timing = int(os.environ.get("TPU_SPAI_STEP_TIMING", 0))
     for epoch in range(max_epochs):
         t_ep = time.time()
         ep_losses = []
-        for ids in _make_batches(train_idx, batch_size, rng):
+        for ids in _make_batches(train_idx, batch_size, rng, pool=pool):
+            t0 = time.perf_counter()
             batch = get_batch(ids)
+            t1 = time.perf_counter()
             params, opt_state, loss, aux, gnorm = train_step(
                 params, opt_state, batch
             )
             step += 1
+            t2 = time.perf_counter()
             ep_losses.append(float(loss))
+            if step_timing and step <= step_timing:
+                log.info(
+                    f"step {step}: batch {t1-t0:.3f}s dispatch {t2-t1:.3f}s "
+                    f"sync {time.perf_counter()-t2:.3f}s"
+                )
             if step % 100 == 0:
                 metrics.log(
                     {
