@@ -198,3 +198,30 @@ def test_padded_forward_matches_subgraph(rng):
     np.testing.assert_allclose(
         padded.reshape(-1), np.asarray(sub)[:, 0], rtol=1e-5, atol=1e-6
     )
+
+
+def test_remat_grads_match():
+    """nn.remat MP layers must give identical grads (pure recomputation)."""
+    import jax.tree_util as jtu
+
+    from tpu_spai.gnn.layers import NodeEdgeProcessing
+
+    rng = np.random.default_rng(0)
+    n, e_cnt, f = 40, 160, 8
+    x = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    ei = jnp.asarray(rng.integers(0, n, (2, e_cnt)), jnp.int32)
+    ea = jnp.asarray(rng.standard_normal((e_cnt, 2)), jnp.float32)
+    kw = dict(node_features=f, edge_features=f, num_mp_layers=2, edge_out_features=1)
+    m0 = NodeEdgeProcessing(**kw, remat=False)
+    m1 = NodeEdgeProcessing(**kw, remat=True)
+    p = m0.init(jax.random.key(0), x, ei, ea)
+
+    def loss(m, p):
+        _, eo = m.apply(p, x, ei, ea)
+        return jnp.sum(eo * eo)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(p)
+    g1 = jax.grad(lambda p: loss(m1, p))(p)
+    assert jtu.tree_structure(g0) == jtu.tree_structure(g1)
+    for a, b in zip(jtu.tree_leaves(g0), jtu.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)

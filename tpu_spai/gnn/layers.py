@@ -191,6 +191,11 @@ class NodeEdgeProcessing(nn.Module):
     msg_mlp: Optional[dict] = None
     aggr: str = "add"
     msg_norm: bool = False
+    # Rematerialize each MP layer in the backward pass (jax.checkpoint):
+    # activation memory drops from O(num_mp_layers * E * 3F) to one
+    # layer's worth, at ~1/3 extra forward FLOPs — the TPU-idiomatic
+    # memory/compute trade for large variable-topology batches.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, node_attr, edge_index, edge_attr, edge_weight=None):
@@ -205,8 +210,9 @@ class NodeEdgeProcessing(nn.Module):
             name="edge_enc",
         )(edge_attr)
 
+        mp_cls = nn.remat(MPLayer) if self.remat else MPLayer
         for i in range(self.num_mp_layers):
-            x, e = MPLayer(
+            x, e = mp_cls(
                 node_channels=self.node_features,
                 edge_channels=self.edge_features,
                 node_residual=self.node_residual,

@@ -51,6 +51,7 @@ def _gnn_kwargs(gnn_cfg: dict) -> dict:
         msg_mlp=dict(c["msg_mlp"]),
         msg_norm=bool(c.get("msg_norm", False)),
         aggr=c.get("aggr", "add"),
+        remat=bool(c.get("remat", False)),
     )
 
 
