@@ -172,3 +172,40 @@ def test_winding_number_inside_outside():
     w = winding_number(pts, v, f)
     np.testing.assert_allclose(w[:2], 1.0, atol=1e-6)
     np.testing.assert_allclose(w[2:], 0.0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_elasticity_bend(tmp_path):
+    """Gravity-bend family (~ elast_bend.py): released face, SPD Hessians."""
+    from tpu_spai.datagen.elasticity import BendDatagen
+
+    p = tmp_path / "bend"
+    BendDatagen(
+        prefix=str(p), nx=2, resolution=3, max_count=2, time_step=0.02,
+    ).generate()
+    ds = FolderDataset(
+        prefix=str(p), is_fixed_topology=True, block_size=3,
+        has_shared_features=True, use_node_features=True,
+    )
+    s = ds.get(0)
+    assert s.block_size == 3
+    assert _is_spd(_mat(s), strict_tol=1e-8)
+
+
+@pytest.mark.slow
+def test_elasticity_stretch(tmp_path):
+    """Stretch family (~ stretch_armadillo.py): pull then release schedule."""
+    from tpu_spai.datagen.elasticity import StretchDatagen
+
+    p = tmp_path / "stretch"
+    StretchDatagen(
+        prefix=str(p), nx=2, resolution=3, max_count=3, time_step=0.02,
+        pull_speed=0.2, release_at=2,
+    ).generate()
+    ds = FolderDataset(
+        prefix=str(p), is_fixed_topology=True, block_size=3,
+        has_shared_features=True, use_node_features=True,
+    )
+    assert len(ds) == 3
+    for i in range(3):
+        assert _is_spd(_mat(ds.get(i)), strict_tol=1e-8)
