@@ -81,3 +81,68 @@ def test_dist_pcg_gsel_spai():
     # the single-device f32 solve lands at the same level (verified) — the
     # distributed apply itself is exact to 1e-7 vs the host oracle
     assert rel < 3e-3, rel
+
+
+def test_overlap_split_matches_plain():
+    """The interior/boundary split SpMV must equal the plain (exchange-
+    then-SpMV) path bitwise, and must actually have an interior range on
+    a banded FEM problem (otherwise nothing overlaps the ppermute)."""
+    from tpu_spai.dist.gsel_dist import (
+        _shard_gsel_spmv,
+        _shard_gsel_spmv_overlap,
+    )
+
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.native import laplacian, lumped_mass
+
+    nodes, elems = unit_box_tet(7, 7, 150)
+    a = sp.csr_matrix(laplacian(nodes, elems) + sp.diags(lumped_mass(nodes, elems)))
+    p = 4
+    # small tile groups so shards have interior groups at test scale
+    pg, perm = partition_gsel(a, p, group=2)
+    assert pg.s_int1 > pg.s_int0, (pg.s_int0, pg.s_int1)
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from tpu_spai.dist.cg import AXIS
+
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, **kw):
+            kw["check_vma"] = kw.pop("check_rep", False)
+            return _sm(f, **kw)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    mesh = Mesh(np.array(jax.devices()[:p]), (AXIS,))
+    x = np.random.default_rng(0).standard_normal(p * pg.chunk).astype(np.float32)
+    x_part = x.reshape(p, pg.chunk)
+
+    def body_plain(oh, li, va, gb, xl):
+        return _shard_gsel_spmv(
+            pg, oh[0], li[0], va[0], gb[0], xl[0], "xla"
+        )[None]
+
+    def body_overlap(oh, li, va, gb, xl):
+        return _shard_gsel_spmv_overlap(
+            pg, oh[0], li[0], va[0], gb[0], xl[0], "xla"
+        )[None]
+
+    args = (pg.onehot, pg.lidx, pg.vals, pg.group_base, jnp.asarray(x_part))
+    outs = []
+    for body in (body_plain, body_overlap):
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=tuple(P(AXIS) for _ in args), out_specs=P(AXIS),
+            check_rep=False,
+        )
+        outs.append(np.asarray(jax.jit(fn)(*args)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+    # and against the host oracle
+    ap = a[perm][:, perm].tocsr()
+    xp = np.concatenate([x_part[s] for s in range(p)])[: ap.shape[0]]
+    want = ap @ xp.astype(np.float64)
+    got = outs[1].reshape(-1)[: ap.shape[0]]
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-5, err

@@ -55,6 +55,13 @@ class PartitionedGsel:
     group: int = _static(default=16)
     q_chunks: int = _static(default=8)
     k_width: int = _static(default=1)
+    # Interior step range [s_int0, s_int1): tile groups whose column
+    # window lies entirely inside the local chunk — their SpMV needs no
+    # halo values, so it runs concurrently with the ppermute exchange
+    # (overlap mandate, BASELINE.json north star / SURVEY §7 hard parts).
+    # Uniform across shards (intersection) so shard_map stays SPMD.
+    s_int0: int = _static(default=0)
+    s_int1: int = _static(default=0)
 
     def local_planes(self, oh, li, va, gb) -> GselPlanes:
         """Rewrap one shard's (leading-axis-sliced) arrays as GselPlanes."""
@@ -89,9 +96,13 @@ def partition_gsel(
     perm = rcm_permutation(a) if reorder else np.arange(n)
     ap = a[perm][:, perm].tocoo()
     bandwidth = int(np.max(np.abs(ap.row - ap.col))) if ap.nnz else 0
-    chunk = -(-n // n_shards)
+    # chunk and halo rounded to whole 128-lane chunks: the extended and
+    # local vector frames then share chunk boundaries, which lets interior
+    # tile groups run off the LOCAL vector (pre-exchange) — see s_int0/1
+    chunk = -(-(-(-n // n_shards)) // 128) * 128
     if halo is None:
         halo = min(bandwidth, chunk)
+    halo = min(-(-halo // 128) * 128, chunk)
     if bandwidth > chunk:
         raise ValueError(
             f"bandwidth {bandwidth} exceeds shard chunk {chunk}; "
@@ -132,6 +143,35 @@ def partition_gsel(
         return oh, li, va, np.asarray(p.group_base)
 
     padded = [pad(p) for p in planes]
+
+    # interior step range: groups whose real column extent lies inside
+    # [halo, halo + chunk) need no halo values — and whose (8-aligned)
+    # group_base stays >= halo so the local-frame window slice start is
+    # in-bounds. With RCM banding the boundary groups sit at both ends of
+    # each shard's step range, so the interior is one contiguous [a, b);
+    # shards intersect to stay SPMD.
+    halo_c, chunk_c = halo // 128, chunk // 128
+    s0, s1 = 0, n_steps
+    for (_, _, _, gb), m in zip(padded, locals_):
+        coo_l = m.tocoo()
+        ghi = np.zeros(n_steps, np.int64)
+        if coo_l.nnz:
+            gid_l = (coo_l.row // t) // grp
+            np.maximum.at(ghi, gid_l, coo_l.col // 128)
+        interior = (gb >= halo_c) & (ghi < halo_c + chunk_c)
+        idx = np.flatnonzero(interior)
+        if len(idx) == 0:
+            s0, s1 = 0, 0
+            break
+        a_s, b_s = int(idx[0]), int(idx[-1]) + 1
+        if not interior[a_s:b_s].all():  # non-contiguous: be conservative
+            runs = np.split(idx, np.flatnonzero(np.diff(idx) > 1) + 1)
+            best = max(runs, key=len)
+            a_s, b_s = int(best[0]), int(best[-1]) + 1
+        s0, s1 = max(s0, a_s), min(s1, b_s)
+    if s0 >= s1:
+        s0 = s1 = 0
+
     return (
         PartitionedGsel(
             onehot=jnp.asarray(np.stack([x[0] for x in padded])),
@@ -145,6 +185,8 @@ def partition_gsel(
             group=grp,
             q_chunks=qg,
             k_width=kp,
+            s_int0=s0,
+            s_int1=s1,
         ),
         perm,
     )
@@ -156,6 +198,111 @@ def _shard_gsel_spmv(pg, oh, li, va, gb, x_l, impl, axis=AXIS):
     g = pg.local_planes(oh, li, va, gb)
     fn = gsel_spmv_pallas if impl == "pallas" else gsel_spmv_xla
     return fn(g, x_ext)
+
+
+def _chunk_pad(x: jax.Array, qg: int) -> jax.Array:
+    """[rows] (rows % 128 == 0) -> [rows/128 + Qg, 128] with window slack."""
+    nc = x.shape[0] // 128
+    xc = jnp.zeros((nc + qg, 128), x.dtype)
+    return xc.at[:nc].set(x.reshape(nc, 128))
+
+
+def _range_spmv_xla(pg, oh, li, va, gb, xc, s_lo, s_hi, shift):
+    """SpMV over tile groups [s_lo, s_hi) against a chunked x frame whose
+    chunk 0 corresponds to extended-frame chunk `shift`. -> [range, G, T]"""
+    qg, grp, kp, t = pg.q_chunks, pg.group, pg.k_width, pg.tile
+
+    def step(carry, inp):
+        oh_s, li_s, va_s, b = inp
+        xw = jax.lax.dynamic_slice(xc, (b - shift, jnp.int32(0)), (qg, 128))
+        op = jnp.dot(
+            oh_s.astype(jnp.float32), xw, precision=jax.lax.Precision.HIGHEST
+        )
+        gv = jnp.take_along_axis(op, li_s.astype(jnp.int32), axis=1)
+        return carry, jnp.sum((va_s * gv).reshape(kp, grp, t), axis=0)
+
+    _, ys = jax.lax.scan(
+        step, None,
+        (oh[s_lo:s_hi], li[s_lo:s_hi], va[s_lo:s_hi], gb[s_lo:s_hi]),
+    )
+    return ys
+
+
+def _range_spmv_pallas(pg, oh, li, va, gb, xc, s_lo, s_hi, shift):
+    from jax.experimental import pallas as pl2
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..kernels.gsel_pallas import _chunk_select_gather
+
+    qg, grp, kp, t = pg.q_chunks, pg.group, pg.k_width, pg.tile
+    gk = grp * kp
+    steps = s_hi - s_lo
+
+    def kernel(base_ref, oh_ref, l_ref, v_ref, x_ref, out_ref):
+        s = pl2.program_id(0)
+        oh_k = oh_ref[0].astype(jnp.float32)
+        l_idx = l_ref[0].astype(jnp.int32)
+        gv = _chunk_select_gather(
+            base_ref[s + s_lo] - shift, oh_k, x_ref, l_idx, qg, 1
+        )
+        out_ref[0] = jnp.sum((v_ref[0] * gv).reshape(kp, grp, t), axis=0)
+
+    def blk(c):
+        nd = len(c)
+        return pl2.BlockSpec(
+            (1,) + c, lambda s, *_, _nd=nd: (s + s_lo,) + (0,) * _nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[
+            blk((gk, qg)),
+            blk((gk, t)),
+            blk((gk, t)),
+            pl2.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl2.BlockSpec(
+            (1, grp, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    with jax.enable_x64(False):
+        out = pl2.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((steps, grp, t), jnp.float32),
+        )(gb, oh, li, va, xc)
+    return out
+
+
+def _shard_gsel_spmv_overlap(pg, oh, li, va, gb, x_l, impl, axis=AXIS):
+    """Halo-overlapped local SpMV: interior tile groups (column window
+    inside the local chunk) compute from the PRE-exchange local vector,
+    so XLA's scheduler can run the ppermute concurrently; the two
+    boundary step ranges then consume the exchanged vector. Op-for-op
+    identical to `_shard_gsel_spmv` (same windows, same select math)."""
+    s0, s1 = pg.s_int0, pg.s_int1
+    if s1 <= s0 or pg.halo == 0:
+        return _shard_gsel_spmv(pg, oh, li, va, gb, x_l, impl, axis)
+    n_steps = oh.shape[0]
+    qg = pg.q_chunks
+    halo_c = pg.halo // 128
+    fn = _range_spmv_pallas if impl == "pallas" else _range_spmv_xla
+    y_mid = fn(pg, oh, li, va, gb, _chunk_pad(x_l, qg), s0, s1, halo_c)
+    x_ext = _halo_exchange(x_l[:, None], pg.halo, axis)[:, 0]
+    xc_e = _chunk_pad(x_ext, qg)
+    empty = jnp.zeros((0,), y_mid.dtype)
+    y_lo = (
+        fn(pg, oh, li, va, gb, xc_e, 0, s0, 0).reshape(-1) if s0 > 0 else empty
+    )
+    y_hi = (
+        fn(pg, oh, li, va, gb, xc_e, s1, n_steps, 0).reshape(-1)
+        if s1 < n_steps
+        else empty
+    )
+    y = jnp.concatenate([y_lo, y_mid.reshape(-1), y_hi])
+    return y[: pg.chunk]
 
 
 def dist_pcg_gsel(
@@ -205,20 +352,20 @@ def dist_pcg_gsel(
         gb = gb[0]
 
         def matvec(v):
-            return _shard_gsel_spmv(pg, oh, li, va, gb, v, impl)
+            return _shard_gsel_spmv_overlap(pg, oh, li, va, gb, v, impl)
 
         if pl is not None:
             loh, lli, lva, lgb, toh, tli, tva, tgb = [q[0] for q in prec_args[:8]]
             invd = prec_args[8][0] if inv_diag is not None else None
 
             def mapply(r):
-                lt_r = _shard_gsel_spmv(plt, toh, tli, tva, tgb, r, impl)
+                lt_r = _shard_gsel_spmv_overlap(plt, toh, tli, tva, tgb, r, impl)
                 eps_r = eps * r
                 if invd is not None:
                     lt_r = lt_r * invd
                     eps_r = eps_r * invd
                 return (
-                    _shard_gsel_spmv(pl, loh, lli, lva, lgb, lt_r, impl)
+                    _shard_gsel_spmv_overlap(pl, loh, lli, lva, lgb, lt_r, impl)
                     + eps_r
                 )
 
