@@ -16,6 +16,7 @@ training reuses compiled programs.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import field
 from typing import List, Optional, Sequence
 
@@ -26,7 +27,6 @@ import numpy as np
 from ..sparse.bcoo import (
     BlockGraph,
     EllView,
-    attach_ell,
     host_ell_planes,
     transpose_permutation,
 )
@@ -44,7 +44,21 @@ def _static(**kw):
 # which is EXACTLY what build_ell produces on the block-diagonal batch
 # graph (disjoint node ranges; stable row sort groups per sample).
 _SAMPLE_ELL_CACHE: dict = {}
-_SAMPLE_ELL_CACHE_MAX = 1024
+_SAMPLE_ELL_BYTES = [0]
+# byte cap (host RAM): entries are ~6 [K, n] planes, tens of MB at
+# reference scale; FIFO eviction keeps multi-topology datasets bounded
+_SAMPLE_ELL_CACHE_CAP = int(
+    os.environ.get("TPU_SPAI_ELL_CACHE_BYTES", 4 * 1024**3)
+)
+
+
+def _ell_entry_nbytes(hit) -> int:
+    fwd, bwd, perm = hit
+    return (
+        sum(p.nbytes for p in fwd)
+        + sum(p.nbytes for p in bwd)
+        + (perm.nbytes if perm is not None else 0)
+    )
 
 
 def _sample_host_ell(s):
@@ -65,10 +79,16 @@ def _sample_host_ell(s):
             perm = transpose_permutation(rows, cols)
         except ValueError:
             perm = None
-        if len(_SAMPLE_ELL_CACHE) >= _SAMPLE_ELL_CACHE_MAX:
-            _SAMPLE_ELL_CACHE.clear()
         hit = (fwd, bwd, perm)
-        _SAMPLE_ELL_CACHE[key] = hit
+        nb = _ell_entry_nbytes(hit)
+        while _SAMPLE_ELL_CACHE and _SAMPLE_ELL_BYTES[0] + nb > _SAMPLE_ELL_CACHE_CAP:
+            oldest = next(iter(_SAMPLE_ELL_CACHE))  # FIFO
+            _SAMPLE_ELL_BYTES[0] -= _ell_entry_nbytes(
+                _SAMPLE_ELL_CACHE.pop(oldest)
+            )
+        if nb <= _SAMPLE_ELL_CACHE_CAP:
+            _SAMPLE_ELL_CACHE[key] = hit
+            _SAMPLE_ELL_BYTES[0] += nb
     return hit
 
 

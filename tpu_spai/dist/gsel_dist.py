@@ -121,6 +121,8 @@ def partition_gsel(
             sp.csr_matrix((ap.data[sel], (r, ce)), shape=(chunk, ext))
         )
 
+    # lane_groups=1 throughout: the overlap range kernels below hardcode
+    # the ng=1 select (see _range_spmv_*); revisit together if that changes
     planes = [build_gsel(m, group=group) for m in locals_]
     if any(p is None for p in planes):
         raise ValueError("local window exceeded max_q; reduce group")
@@ -209,7 +211,9 @@ def _chunk_pad(x: jax.Array, qg: int) -> jax.Array:
 
 def _range_spmv_xla(pg, oh, li, va, gb, xc, s_lo, s_hi, shift):
     """SpMV over tile groups [s_lo, s_hi) against a chunked x frame whose
-    chunk 0 corresponds to extended-frame chunk `shift`. -> [range, G, T]"""
+    chunk 0 corresponds to extended-frame chunk `shift`. -> [range, G, T]
+
+    ng=1 only (partition_gsel builds lane_groups=1 planes)."""
     qg, grp, kp, t = pg.q_chunks, pg.group, pg.k_width, pg.tile
 
     def step(carry, inp):

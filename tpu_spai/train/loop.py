@@ -41,7 +41,7 @@ def _make_batches(
     indices: Sequence[int],
     batch_size: int,
     rng: np.random.Generator,
-    pool: Optional[List[np.ndarray]] = None,
+    pool: Optional[List[List[np.ndarray]]] = None,  # partitions of batches
 ):
     """Batch compositions for one epoch.
 
@@ -63,12 +63,15 @@ def _bucket_sizes(dataset, indices, batch_size) -> Dict[str, int]:
     """Upper-bound node/edge counts (and ELL width) for any batch, for
     stable padding — every batch then reuses one compiled step."""
     ns, es, ks = [], [], []
-    probe = indices[: min(len(indices), 64)]
+    probe = indices[: min(len(indices), 512)]
     for i in probe:
         s = dataset.get(i)
         ns.append(s.num_nodes)
         es.append(s.edge_index.shape[1])
+        # max over BOTH directions: the transpose ELL view's width is the
+        # max column degree
         ks.append(int(np.bincount(np.asarray(s.edge_index[0])).max()))
+        ks.append(int(np.bincount(np.asarray(s.edge_index[1])).max()))
     n_max = max(ns) * batch_size
     e_max = max(es) * batch_size
     from ..data.batching import _bucket
@@ -206,14 +209,16 @@ def fit(
     buckets = _bucket_sizes(dataset, list(range(len(dataset))), batch_size)
     log.info(f"buckets: {buckets}; train={len(train_idx)} val={len(val_idx)}")
 
-    # Device-resident batch cache: with small per-family datasets the set
-    # of (shuffled) batch compositions is small, and re-collating +
-    # re-transferring ~tens of MB of planes per step dominated step time
-    # on the remote-TPU relay. Keyed by exact id order (identical batch =>
-    # identical training semantics); byte-capped FIFO.
+    # Device-resident batch cache: with a fixed batch pool the set of
+    # compositions is small, and re-collating + re-transferring ~tens of
+    # MB of planes per step dominated step time on the remote-TPU relay.
+    # Keyed by exact id order (identical batch => identical training
+    # semantics); byte-capped FIFO. Only active with trainer.batch_pool
+    # (default full-reshuffle compositions essentially never repeat — a
+    # cache would just accumulate dead device arrays).
     cache_cap = int(
         os.environ.get("TPU_SPAI_BATCH_CACHE_BYTES", 2 * 1024**3)
-    )
+    ) if int(dict(cfg.trainer).get("batch_pool", 0)) > 0 else 0
     batch_cache: Dict[tuple, GraphBatch] = {}
     cache_bytes = [0]
 
@@ -233,8 +238,8 @@ def fit(
         if cache_cap > 0:
             nb = _batch_nbytes(batch)
             while batch_cache and cache_bytes[0] + nb > cache_cap:
-                _, old = batch_cache.popitem()
-                cache_bytes[0] -= _batch_nbytes(old)
+                oldest = next(iter(batch_cache))  # FIFO (insertion order)
+                cache_bytes[0] -= _batch_nbytes(batch_cache.pop(oldest))
             if nb <= cache_cap:
                 batch_cache[key] = batch
                 cache_bytes[0] += nb
