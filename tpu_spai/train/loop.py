@@ -31,7 +31,12 @@ import numpy as np
 from ..data.batching import GraphBatch, collate
 from ..logging_utils import MetricLogger, get_logger
 from ..sparse.convert import graph_to_csr
-from .checkpoints import save_checkpoint
+from .checkpoints import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_opt_state,
+    save_checkpoint,
+)
 from .optim import create_optimizer
 
 log = get_logger()
@@ -276,6 +281,26 @@ def fit(
     )
     opt_state = tx.init(params)
 
+    # Full resume (params + optimizer state + epoch counter): `resume=`
+    # points at a checkpoint dir (latest) or a specific epoch_NNNN path.
+    # Restoring the optax state restores the LR-schedule position too.
+    # Needed for segmented long runs: the remote-TPU relay client leaks
+    # host RSS per dispatch, so runs beyond a few hundred epochs restart
+    # the process between segments (trainer.epochs_per_run).
+    start_epoch = 0
+    resume = cfg.select("resume", "")
+    if resume:
+        rp = Path(resume)
+        if rp.is_dir() and (rp / "latest.json").exists():
+            rp = latest_checkpoint(rp)
+        params = load_checkpoint(rp, params)
+        opt_state = load_opt_state(rp, opt_state)
+        start_epoch = int(str(rp.name).split("_")[-1]) + 1
+        # fresh shuffling stream per segment (else every segment replays
+        # the same batch-order sequence)
+        rng = np.random.default_rng(seed + start_epoch)
+        log.info(f"resumed from {rp}: starting at epoch {start_epoch}")
+
     def _train_step_impl(params, opt_state, batch):
         (loss, aux), grads = jax.value_and_grad(workspace.loss, has_aux=True)(
             params, batch
@@ -330,9 +355,13 @@ def fit(
             f"({sum(len(p) for p in pool)} compositions)"
         )
 
-    step = 0
+    step = start_epoch * steps_per_epoch
     step_timing = int(os.environ.get("TPU_SPAI_STEP_TIMING", 0))
-    for epoch in range(max_epochs):
+    epochs_per_run = int(tcfg.get("epochs_per_run", 0))
+    end_epoch = max_epochs
+    if epochs_per_run > 0:
+        end_epoch = min(max_epochs, start_epoch + epochs_per_run)
+    for epoch in range(start_epoch, end_epoch):
         t_ep = time.time()
         ep_losses = []
         for ids in _make_batches(train_idx, batch_size, rng, pool=pool):
@@ -406,7 +435,7 @@ def fit(
                 {"Val/Loss": float(np.mean(vlosses))}, step=step, epoch=epoch
             )
 
-        if (epoch + 1) % ckpt_every == 0 or epoch == max_epochs - 1:
+        if (epoch + 1) % ckpt_every == 0 or epoch == end_epoch - 1:
             save_checkpoint(out / "checkpoints", epoch, params, cfg,
                             opt_state=opt_state)
 
