@@ -126,3 +126,45 @@ def test_lane_groups_random_pattern():
     g4 = build_gsel(a, lane_groups=4)
     got = np.asarray(gsel_spmv_xla(g4, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * np.abs(want).max())
+
+
+def test_window2_fem():
+    # 2-chunk slot windows: K' reaches ~max row degree on RCM FEM
+    # patterns (docs/PERF.md round-1n); sub bit packs into lidx bit 7
+    a = _fem_matrix(8)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(a.shape[1]).astype(np.float32)
+    want = a.astype(np.float64) @ x
+    scale = np.abs(want).max()
+    g1 = build_gsel(a, window=1)
+    g2 = build_gsel(a, window=2)
+    assert g2.window == 2
+    assert g2.k_width < g1.k_width
+    maxdeg = int(np.diff(a.indptr).max())
+    assert g2.k_width <= maxdeg + 2
+    got = np.asarray(gsel_spmv_xla(g2, jnp.asarray(x)))
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+    got_pl = np.asarray(gsel_spmv_pallas(g2, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got_pl / scale, want / scale, atol=2e-5)
+
+
+def test_window2_random_and_ds():
+    a = _random_matrix(900, density=8e-3, seed=11)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(a.shape[1]).astype(np.float32)
+    want = a.astype(np.float64) @ x
+    scale = np.abs(want).max()
+    g2 = build_gsel(a, window=2)
+    got = np.asarray(gsel_spmv_xla(g2, jnp.asarray(x)))
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+    # double-single planes with window: fp64-grade accuracy preserved
+    from tpu_spai.kernels.gsel import gsel_spmv_ds_xla
+    from tpu_spai.kernels.gsel_pallas import gsel_spmv_ds_pallas
+
+    gd = build_gsel(a, window=2, double_single=True)
+    zeros = jnp.zeros(a.shape[1], jnp.float32)
+    for fn in (gsel_spmv_ds_xla, lambda g, h, l: gsel_spmv_ds_pallas(
+            g, h, l, interpret=True)):
+        yh, yl = fn(gd, jnp.asarray(x), zeros)
+        y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        np.testing.assert_allclose(y / scale, want / scale, atol=1e-12)

@@ -131,3 +131,38 @@ def test_fused_forward_parity(pre_norm):
     np.testing.assert_allclose(
         got_edges, np.asarray(edge_ref)[:, 0], atol=2e-4
     )
+
+
+def test_window_slot_graph_forward():
+    # forced window=2 grid: gather + slotted forward must match the w=1
+    # grid bit-for-bit at oracle level (same GNN, different layout)
+    ap, rows, cols, vals, nf, ef = _graph()
+    n = ap.shape[0]
+    sg2 = build_slot_graph(rows, cols, vals, n, window=2)
+    assert sg2.pattern.window == 2
+    x = jnp.asarray(nf)
+    got = np.asarray(gather_feats_xla(sg2.pattern, x))
+    pal = np.asarray(gather_feats_pallas(sg2.pattern, x, interpret=True))
+    np.testing.assert_allclose(got, pal, atol=1e-6)
+    perm = np.asarray(sg2.perm)
+    mask = np.asarray(sg2.mask)
+    for f in range(2):
+        want = np.where(mask > 0, nf[cols[perm], f], 0.0)
+        np.testing.assert_allclose(
+            np.where(mask > 0, got[:, f], 0.0), want, atol=1e-6
+        )
+    # scatter/gather roundtrip on the windowed grid
+    planes = slot_scatter(sg2, ef)
+    back = np.asarray(slot_gather_edges(sg2, planes))
+    np.testing.assert_allclose(back, ef, atol=1e-7)
+
+
+def test_auto_window_picks_by_slots():
+    ap, rows, cols, vals, nf, ef = _graph()
+    n = ap.shape[0]
+    auto = build_slot_graph(rows, cols, vals, n)  # window=None -> auto
+    w2 = build_slot_graph(rows, cols, vals, n, window=2)
+    ng8 = build_slot_graph(rows, cols, vals, n, window=1, lane_groups=8)
+    best = min(w2.pattern.slots, ng8.pattern.slots)
+    assert auto.pattern.slots <= max(best, int(0.8 * max(
+        w2.pattern.slots, ng8.pattern.slots)))

@@ -331,8 +331,10 @@ def main(argv=None):
                             bpos[ei_v[0]], bpos[ei_v[1]], n_blk, b_sz
                         )
                         if layout is not None and impl == "pallas":
+                            pat = layout.sg.pattern
                             gsafe = fused_safe_group(
-                                layout.sg.pattern.k_width
+                                pat.k_width, pat.n_cols,
+                                window=pat.window, q_chunks=pat.q_chunks,
                             )
                             if layout.sg.pattern.group > gsafe:
                                 layout = build_block_slot_layout(
@@ -340,14 +342,11 @@ def main(argv=None):
                                     b_sz, group=gsafe,
                                 )
                         if layout is not None:
-                            sg_b = layout.sg
                             xp = jnp.asarray(
                                 np.asarray(batch.x)[:n_valid][bperm],
                                 jnp.float32,
                             )
                             ea_v = np.asarray(batch.edge_attr)[:e_valid]
-                            e_fwd = slot_scatter(sg_b, ea_v)
-                            e_rev = slot_scatter(sg_b, ea_v, reverse=True)
                             m_dof = (
                                 np.asarray(batch.mask)[:n_valid][bperm]
                                 .reshape(-1)
@@ -358,30 +357,59 @@ def main(argv=None):
                                 if scaled
                                 else None
                             )
-                            sf, af, sr, ar = scalar_scale_add(
-                                layout, m_dof, rsq
-                            )
-                            s_sys, a_sys, _, _ = scalar_scale_add(
-                                layout, m_dof, None
-                            )
                             gnn_impl = (
                                 "fused" if impl == "pallas" else impl
                             )
 
-                            def construct():
-                                _, pf, pr = slotted_gnn_forward(
-                                    params, sg_b, xp, e_fwd, e_rev,
-                                    impl=gnn_impl, out_channels=bb,
+                            def make_construct(lay):
+                                sgb = lay.sg
+                                e_f = slot_scatter(sgb, ea_v)
+                                e_r = slot_scatter(sgb, ea_v, reverse=True)
+                                sf, af, sr, ar = scalar_scale_add(
+                                    lay, m_dof, rsq
                                 )
-                                if bb == 1:
-                                    pf, pr = pf[:, None], pr[:, None]
-                                vf, vr = expand_block_planes(
-                                    layout, pf, pr
-                                )
-                                return vf * sf + af, vr * sr + ar
 
-                            vf, vr = construct()
-                            vf.block_until_ready()
+                                def construct():
+                                    _, pf, pr = slotted_gnn_forward(
+                                        params, sgb, xp, e_f, e_r,
+                                        impl=gnn_impl, out_channels=bb,
+                                    )
+                                    if bb == 1:
+                                        pf, pr = pf[:, None], pr[:, None]
+                                    vf, vr = expand_block_planes(
+                                        lay, pf, pr
+                                    )
+                                    return vf * sf + af, vr * sr + ar
+
+                                return construct
+
+                            # the scoped-VMEM model (fused_safe_group) is
+                            # marginal near the limit; retry with halved
+                            # tile group on a compile-time VMEM OOM
+                            construct = make_construct(layout)
+                            while True:
+                                try:
+                                    vf, vr = construct()
+                                    vf.block_until_ready()
+                                    break
+                                except jax.errors.JaxRuntimeError as exc:
+                                    gcur = layout.sg.pattern.group
+                                    if (
+                                        "Scoped allocation" not in str(exc)
+                                        or gcur <= 1
+                                    ):
+                                        raise
+                                    layout = build_block_slot_layout(
+                                        bpos[ei_v[0]], bpos[ei_v[1]],
+                                        n_blk, b_sz,
+                                        group=max(1, gcur // 2),
+                                        window=layout.sg.pattern.window,
+                                    )
+                                    construct = make_construct(layout)
+                            sg_b = layout.sg
+                            s_sys, a_sys, _, _ = scalar_scale_add(
+                                layout, m_dof, None
+                            )
                             t0 = time.perf_counter()
                             for _ in range(repeat):
                                 vf, vr = construct()

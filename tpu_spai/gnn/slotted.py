@@ -64,21 +64,47 @@ class SlotGraph:
         return self.pattern.n_rows
 
 
-def fused_safe_group(k_width: int) -> int:
-    """Largest tile group whose fused-MP working set fits scoped VMEM
-    (~16 live [16, G*K'*128] f32 tensors <= ~12 MB)."""
-    return max(1, 19968 // (k_width * 128))
+def fused_safe_group(
+    k_width: int, n_cols: int = 0, nf: int = 16, window: int = 1,
+    q_chunks: int = 64,
+) -> int:
+    """Largest tile group whose fused-MP working set fits scoped VMEM.
+
+    window=1 (lane-group grids): the empirical production bound
+    (~16 live [16, G*K'*128] f32 tensors — G=6 at K'=23 / G=7 at K'=21
+    verified on v5e, inside scan bodies included).
+
+    window=2: byte model calibrated on v5e compile reports — resident x
+    planes ([nf, n_chunks, 128] f32) + ~437 B of live plane tensors per
+    slot-lane (the two gather operands stay live); 15 MB budget leaves
+    scheduler headroom. Callers should pass n_cols — with the default 0
+    the model reduces to a plane-only budget (adequate for n <~ 30k)."""
+    if window == 1:
+        return max(1, 19968 // (k_width * LANE))
+    n_chunks = -(-n_cols // LANE) + q_chunks
+    x_bytes = nf * n_chunks * LANE * 4
+    budget = int(15.0 * 2**20) - x_bytes
+    return max(1, min(16, budget // (437 * k_width * LANE)))
 
 
 def build_slot_graph(
-    rows, cols, values, n: int, group: int = 16, lane_groups: int = 8
+    rows, cols, values, n: int, group: int = 16, lane_groups: int = 8,
+    window=None,
 ) -> Optional[SlotGraph]:
     """Build the slot grid from directed edge lists (symmetric pattern).
 
     `rows/cols/values`: the graph's directed edges in *storage order* (the
     order edge features and GNN outputs use). Pattern must be symmetric —
     every (r, c) has a (c, r) — which holds for all problem families
-    (SPD matrices)."""
+    (SPD matrices).
+
+    window=2 (excludes lane_groups>1) packs slot rows with 2-chunk
+    windows (kernels/gsel.py): K' reaches the max row degree on FEM
+    patterns, shrinking every per-slot plane the GNN streams — measured
+    1.3x (n=15.6k) to 2.6x (n=117k) on the fused forward (docs/PERF.md
+    round-1n). window=None (default) probes both schemes on the pattern
+    and keeps window=2 iff it cuts slots ≥20% (locality-free random
+    patterns pack better with lane groups; FEM packs better windowed)."""
     import scipy.sparse as sp
 
     rows = np.asarray(rows)
@@ -90,12 +116,24 @@ def build_slot_graph(
     a_val = sp.csr_matrix(
         (np.asarray(values, np.float64).reshape(-1), (rows, cols)), shape=(n, n)
     )
+    if window is None:
+        probe_w2 = build_gsel(a_ids, group=group, lane_groups=1, window=2)
+        probe_ng = build_gsel(a_ids, group=group, lane_groups=lane_groups)
+        if probe_w2 is not None and (
+            probe_ng is None or probe_w2.slots <= 0.8 * probe_ng.slots
+        ):
+            window = 2
+        else:
+            window = 1
+    if window > 1:
+        lane_groups = 1
     # identical pattern => identical slot assignment across the three builds;
     # shrink the tile group until a grid step's blocks fit scoped VMEM
     # (mirrors solver.gsel_solver.build_gsel_csr)
     g_ids = None
     while group >= 1:
-        g_ids = build_gsel(a_ids, group=group, lane_groups=lane_groups)
+        g_ids = build_gsel(a_ids, group=group, lane_groups=lane_groups,
+                           window=window)
         if g_ids is None:
             if group == 1:
                 return None
@@ -103,7 +141,8 @@ def build_slot_graph(
             continue
         gk = g_ids.group * g_ids.k_width
         step_bytes = (
-            gk * g_ids.q_chunks * lane_groups + 2 * gk * g_ids.tile * 4
+            gk * g_ids.q_chunks * lane_groups * window
+            + 2 * gk * g_ids.tile * 4
         )
         if step_bytes <= int(2.5 * 2**20) or group == 1:
             break
@@ -112,8 +151,10 @@ def build_slot_graph(
     if g_ids is None:
         return None
     group = g_ids.group
-    g_idt = build_gsel(at_ids, group=group, lane_groups=lane_groups)
-    g_val = build_gsel(a_val, group=group, lane_groups=lane_groups)
+    g_idt = build_gsel(at_ids, group=group, lane_groups=lane_groups,
+                       window=window)
+    g_val = build_gsel(a_val, group=group, lane_groups=lane_groups,
+                       window=window)
     ids_s = np.asarray(g_ids.vals)
     mask = (ids_s > 0).astype(np.float32)
     perm = np.maximum(ids_s.astype(np.int64) - 1, 0).astype(np.int32)
@@ -167,51 +208,48 @@ def gather_feats_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
     xt = xt.at[:, : g.n_cols].set(x.T.astype(jnp.float32))
     xc = xt.reshape(nf, n_chunks, LANE)
 
-    def step(carry, inp):
-        oh, li, base = inp
-        xw = expand_window(
-            jax.lax.dynamic_slice(
-                xc, (jnp.int32(0), base, jnp.int32(0)), (nf, qg, LANE)
-            ),
-            g.lane_groups,
-        )
-        op = jnp.einsum(
-            "kq,fqc->fkc",
-            oh.astype(jnp.float32),
-            xw,
+    def one_dot(ohp, xw):
+        return jnp.einsum(
+            "kq,fqc->fkc", ohp.astype(jnp.float32), xw,
             precision=jax.lax.Precision.HIGHEST,
         )
-        li32 = li.astype(jnp.int32)
-        gv = jnp.take_along_axis(
-            op, jnp.broadcast_to(li32[None], (nf,) + li32.shape), axis=2
+
+    def step(carry, inp):
+        oh, li, base = inp
+        xw = jax.lax.dynamic_slice(
+            xc, (jnp.int32(0), base, jnp.int32(0)), (nf, qg, LANE)
         )
+        li32 = li.astype(jnp.int32)
+        if g.window == 2:
+            u = li32 & 255
+            lane_b = jnp.broadcast_to((u & 127)[None], (nf,) + li.shape)
+            sub_b = jnp.broadcast_to((u >> 7)[None], (nf,) + li.shape)
+            g0 = jnp.take_along_axis(one_dot(oh[:, :qg], xw), lane_b, axis=2)
+            g1 = jnp.take_along_axis(one_dot(oh[:, qg:], xw), lane_b, axis=2)
+            gv = jnp.where(sub_b == 1, g1, g0)
+        else:
+            op = one_dot(oh, expand_window(xw, g.lane_groups))
+            gv = jnp.take_along_axis(
+                op, jnp.broadcast_to(li32[None], (nf,) + li32.shape), axis=2
+            )
         return carry, gv
 
     _, out = jax.lax.scan(step, None, (g.onehot, g.lidx, g.group_base))
     return out  # [S, F, GK', T]
 
 
-def _gather_kernel(nf: int, qg: int, gk: int, ng: int = 1):
+def _gather_kernel(nf: int, qg: int, gk: int, ng: int = 1, window: int = 1):
     from jax.experimental import pallas as pl
+
+    from ..kernels.gsel_pallas import batched_select_gather
 
     def kernel(base_ref, oh_ref, l_ref, x_ref, out_ref):
         s = pl.program_id(0)
-        base = base_ref[s]
-        oh = oh_ref[0].astype(jnp.float32)  # [GK', NG*Qg]
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', W*NG*Qg]
         li = l_ref[0].astype(jnp.int32)  # [GK', T], stored int8
-        xw = expand_window(x_ref[:, pl.ds(base, qg), :], ng)  # [F,NG*Qg,128]
-        oh_b = jnp.broadcast_to(oh[None], (nf,) + oh.shape)
-        op = jax.lax.dot_general(
-            oh_b,
-            xw,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [F, GK', 128] — one batched MXU chunk select
-        op2 = op.reshape(nf * gk, LANE)
-        li2 = jnp.broadcast_to(li[None], (nf,) + li.shape).reshape(nf * gk, LANE)
-        gv = jnp.take_along_axis(op2, li2, axis=1)  # one hw gather
-        out_ref[0] = gv.reshape(nf, gk, LANE)
+        out_ref[0] = batched_select_gather(
+            base_ref[s], oh, li, x_ref, nf, qg, gk, ng, window
+        )
 
     return kernel
 
@@ -239,7 +277,7 @@ def gather_feats_pallas(
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, gk, ng * qg), lambda s, *_: (s, 0, 0),
+                (1, gk, g.window * ng * qg), lambda s, *_: (s, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -253,7 +291,7 @@ def gather_feats_pallas(
     )
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _gather_kernel(nf, qg, gk, ng),
+            _gather_kernel(nf, qg, gk, ng, g.window),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_steps, nf, gk, t), jnp.float32),
             interpret=interpret,

@@ -66,13 +66,15 @@ def build_block_slot_layout(
     b: int,
     group: int = 16,
     lane_groups: int = 8,
+    window=None,
 ) -> Optional[BlockSlotLayout]:
     """Build the two-level layout from the block graph's directed edges.
 
     `rows_b/cols_b`: block-level directed edges in storage order (the
     order `predict_blocks` emits [E, b, b] values). Pattern must be
     symmetric (SPD block matrices). Returns None if either grid is
-    unbandable (caller falls back to host factor assembly)."""
+    unbandable (caller falls back to host factor assembly). `window`
+    follows build_slot_graph (None = auto-pick vs lane groups)."""
     import scipy.sparse as sp
 
     from ..solver.gsel_solver import build_gsel_csr
@@ -82,7 +84,7 @@ def build_block_slot_layout(
     e = len(rows_b)
     sg = build_slot_graph(
         rows_b, cols_b, np.ones(e, np.float32), n_b,
-        group=group, lane_groups=lane_groups,
+        group=group, lane_groups=lane_groups, window=window,
     )
     if sg is None:
         return None

@@ -30,7 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..kernels.gsel import LANE, GselPlanes, expand_window
+from ..kernels.gsel import LANE, GselPlanes
+from ..kernels.gsel_pallas import batched_select_gather
 
 
 class FoldedFFN(NamedTuple):
@@ -119,7 +120,7 @@ _W_FIELDS = ("w0", "bconst", "sw", "w1", "b1", "w2", "b2")
 
 
 def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
-               edge_residual, emit_edges, ng=1):
+               edge_residual, emit_edges, ng=1, window=1):
     m = gk * t
     mc = grp * t
     nw = len(_W_FIELDS)
@@ -133,20 +134,11 @@ def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
         edge_w = {k: wrefs[nw + i][...] for i, k in enumerate(_W_FIELDS)}
 
         s = pl.program_id(0)
-        base = base_ref[s]
-        oh = oh_ref[0].astype(jnp.float32)  # [GK', NG*Qg]
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', W*NG*Qg]
         li = l_ref[0].astype(jnp.int32)  # stored int8
-        xw = expand_window(x_ref[:, pl.ds(base, qg), :], ng)
-        oh_b = jnp.broadcast_to(oh[None], (nf,) + oh.shape)
-        op = jax.lax.dot_general(
-            oh_b, xw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        gj = batched_select_gather(
+            base_ref[s], oh, li, x_ref, nf, qg, gk, ng, window
         )
-        li2 = jnp.broadcast_to(li[None], (nf,) + li.shape).reshape(
-            nf * gk, LANE
-        )
-        gj = jnp.take_along_axis(op.reshape(nf * gk, LANE), li2, axis=1)
         gj = gj.reshape(nf, m)  # [F, M] (k-major slots x lanes)
 
         # x_i: [F, G, T] -> broadcast over K' -> [F, M]
@@ -235,7 +227,7 @@ def fused_mp_layer(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
-            blk((gk, ng * qg)),
+            blk((gk, g.window * ng * qg)),
             blk((gk, t)),
             blk((gk, t)),
             blk((nf, grp, t)),
@@ -252,7 +244,7 @@ def fused_mp_layer(
     )
     kern = _mp_kernel(
         nf, ce, kp, grp, t, qg, gk, msg_norm, edge_norm,
-        edge_residual, emit_edges, ng,
+        edge_residual, emit_edges, ng, g.window,
     )
     with jax.enable_x64(False):
         agg, efo, ero = pl.pallas_call(

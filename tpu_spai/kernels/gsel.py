@@ -81,6 +81,7 @@ class GselPlanes:
     q_chunks: int = _static(default=8)  # Qg (padded group-window chunks)
     k_width: int = _static(default=1)  # K'
     lane_groups: int = _static(default=1)  # NG: chunks assigned per 128/NG lanes
+    window: int = _static(default=1)  # W: chunks per slot row (see build_gsel)
 
     @property
     def n_steps(self) -> int:
@@ -99,6 +100,7 @@ def build_gsel(
     dtype=np.float32,
     double_single: bool = False,
     lane_groups: int = 1,
+    window: int = 1,
 ) -> Optional[GselPlanes]:
     """Build gsel planes from a scipy-sparse-convertible matrix.
 
@@ -115,6 +117,17 @@ def build_gsel(
     kernels select against an NG-replicated lane-masked window). The
     per-chunk max is then taken over 128/NG rows, cutting the K' padding
     ~2-3x on FEM patterns — every downstream plane shrinks with it.
+
+    ``window=2`` (requires lane_groups=1) gives each slot row a 2-chunk
+    window [base_k, base_k+2) with one base shared across the tile
+    (tile-coordinated greedy first-fit, csrc/gsel_assign.cpp): a row's
+    neighbor clusters straddling a 128-lane chunk boundary no longer
+    split into two slot rows, so K' reaches the max row degree on
+    RCM-ordered FEM patterns (25 -> 13 on heat tet boxes — docs/PERF.md
+    round-1l/1n). The sub-chunk bit packs into bit 7 of the int8 lidx
+    (lane < 128 needs only 7 bits), onehot stores both blocks
+    [*, K', 2*Qg]; kernels run two chunk-select dots + two lane gathers
+    and combine with a select on the sub bit.
     """
     import scipy.sparse as sp
 
@@ -156,9 +169,39 @@ def build_gsel(
 
     ng = lane_groups
     assert LANE % ng == 0
+    assert window in (1, 2), "window > 2 has no spare lidx bits"
+    assert window == 1 or ng == 1, "window excludes lane_groups"
     lg_w = LANE // ng
     rint = row % tile
-    if ng == 1:
+    if window == 2:
+        # w-window scheme: tile-coordinated greedy first-fit in C++;
+        # edges sorted chunk-major within tiles so bases coordinate.
+        from ..native import gsel_window_fit
+
+        order = np.lexsort((rint, relq, tid))
+        t_o, q_o, r_o = tid[order], relq[order], rint[order]
+        per_row = np.bincount(row, minlength=n_rows).max() if len(row) else 1
+        max_k = int(per_row) + 8
+        res = None
+        while res is None:
+            res = gsel_window_fit(
+                t_o, q_o.astype(np.int32), r_o.astype(np.int32),
+                n_tiles, window, tile, max_k,
+            )
+            if res is None:
+                max_k *= 2
+        slot_k, basemap, kprime = res
+        sub_o = q_o - basemap[t_o, slot_k]  # in {0, 1}
+        # onehot blocks: [:, :, s*qg + q] selects chunk base_k + s
+        bm = basemap[:, :kprime].astype(np.int64)  # [n_tiles, K']
+        bm_pad = np.full((n_tiles_pad, kprime), -1, np.int64)
+        bm_pad[:n_tiles] = bm
+        cols = np.arange(qg)[None, None, None, :]
+        tgt = bm_pad[:, :, None, None] + np.arange(window)[None, None, :, None]
+        onehot = (
+            (bm_pad[:, :, None, None] >= 0) & (tgt == cols) & (tgt < qg)
+        ).astype(np.int8).reshape(n_tiles_pad, kprime, window * qg)
+    elif ng == 1:
         # single-chunk-per-slot-row construction: lexsort edges by
         # (tile, chunk, row-in-tile, col); slot-row k of an edge = its rank
         # within the (tile, chunk, row) group, offset by the tile's
@@ -210,18 +253,23 @@ def build_gsel(
 
     lidx = np.zeros((n_tiles_pad, kprime, tile), np.int32)
     vals = np.zeros((n_tiles_pad, kprime, tile), dtype)
-    lidx[t_o, slot_k, r_o] = lane[order]
+    lane_o = lane[order]
+    if window == 2:
+        lane_o = lane_o | (sub_o.astype(np.int64) << 7)  # pack sub in bit 7
+    lidx[t_o, slot_k, r_o] = lane_o
     vals[t_o, slot_k, r_o] = val[order]
     vals_lo = None
     if val_lo is not None:
         vals_lo = np.zeros((n_tiles_pad, kprime, tile), np.float32)
         vals_lo[t_o, slot_k, r_o] = val_lo[order]
 
-    # onehot [*, K', NG*Qg]: block lg holds the lane-group's chunk one-hot;
-    # unset (k, lg) cells got chunk 0 — harmless, their slots carry 0 vals
-    onehot = (
-        qmap3[:, :, :, None] == np.arange(qg)[None, None, None, :]
-    ).astype(np.int8).reshape(n_tiles_pad, kprime, ng * qg)
+    if window == 1:
+        # onehot [*, K', NG*Qg]: block lg holds the lane-group's chunk
+        # one-hot; unset (k, lg) cells got chunk 0 — harmless, their slots
+        # carry 0 vals
+        onehot = (
+            qmap3[:, :, :, None] == np.arange(qg)[None, None, None, :]
+        ).astype(np.int8).reshape(n_tiles_pad, kprime, ng * qg)
     gk = group * kprime
 
     def kmajor(arr):
@@ -248,6 +296,7 @@ def build_gsel(
         q_chunks=qg,
         k_width=kprime,
         lane_groups=lane_groups,
+        window=window,
     )
 
 
@@ -277,6 +326,28 @@ def _chunked_x(g: GselPlanes, x: jax.Array) -> jax.Array:
     return xf.reshape(n_chunks, LANE)
 
 
+def _select_gather_xla(g: GselPlanes, oh, li, xw, dtype):
+    """Shared chunk-select + lane-gather for the XLA reference impls.
+    oh [GK', W*NG*Qg] i8, li [GK', T] i8 (bit 7 = sub when window=2),
+    xw [Qg, 128] already base-sliced. Returns [GK', T]."""
+    qg = g.q_chunks
+    if g.window == 2:
+        li32 = li.astype(jnp.int32) & 255
+        lane_i = li32 & 127
+        sub = li32 >> 7
+        ohf = oh.astype(dtype)
+        op0 = jnp.dot(ohf[:, :qg], xw, precision=jax.lax.Precision.HIGHEST)
+        op1 = jnp.dot(ohf[:, qg:], xw, precision=jax.lax.Precision.HIGHEST)
+        g0 = jnp.take_along_axis(op0, lane_i, axis=1)
+        g1 = jnp.take_along_axis(op1, lane_i, axis=1)
+        return jnp.where(sub == 1, g1, g0)
+    op = jnp.dot(
+        oh.astype(dtype), expand_window(xw, g.lane_groups),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.take_along_axis(op, li.astype(jnp.int32), axis=1)
+
+
 def gsel_spmv_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
     """Reference implementation (CPU/tests): lax.scan over tile groups.
 
@@ -288,15 +359,9 @@ def gsel_spmv_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
     grp, kp, t = g.group, g.k_width, g.tile
 
     def step_body(carry, inp):
-        oh, li, v, base = inp  # [GK,NG*Qg] i8, [GK,T] i8, [GK,T] f32, scalar
-        xw = expand_window(
-            jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE)),
-            g.lane_groups,
-        )
-        op = jnp.dot(
-            oh.astype(g.vals.dtype), xw, precision=jax.lax.Precision.HIGHEST
-        )  # [GK, 128]
-        gv = jnp.take_along_axis(op, li.astype(jnp.int32), axis=1)  # [GK, T]
+        oh, li, v, base = inp  # [GK,W*NG*Qg] i8, [GK,T] i8, [GK,T] f32, scalar
+        xw = jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE))
+        gv = _select_gather_xla(g, oh, li, xw, g.vals.dtype)  # [GK, T]
         y = jnp.sum((v * gv).reshape(kp, grp, t), axis=0)  # [G, T]
         return carry, y
 
@@ -323,12 +388,8 @@ def gsel_spmv_ds_xla(g: GselPlanes, x_hi: jax.Array, x_lo: jax.Array):
 
     def step_body(carry, inp):
         oh, li, vh, vl, base = inp
-        xw = expand_window(
-            jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE)),
-            g.lane_groups,
-        )
-        op = jnp.dot(oh.astype(jnp.float64), xw)
-        gv = jnp.take_along_axis(op, li.astype(jnp.int32), axis=1)
+        xw = jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE))
+        gv = _select_gather_xla(g, oh, li, xw, jnp.float64)
         v64 = vh.astype(jnp.float64) + vl.astype(jnp.float64)
         y = jnp.sum((v64 * gv).reshape(kp, grp, t), axis=0)
         return carry, y

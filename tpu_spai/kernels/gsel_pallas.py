@@ -44,25 +44,75 @@ def _plane_specs(gk: int, qg: int, t: int):
     ]
 
 
-def _chunk_select_gather(base, oh, xc_ref, l_idx, qg, ng=1):
-    """op = onehot @ x_window (MXU, exact) ; g = lane-gather(op, lidx)."""
-    xw = expand_window(xc_ref[pl.ds(base, qg), :], ng)  # [NG*Qg, 128]
-    op = jax.lax.dot_general(
+def _dot_oh(oh, xw):
+    return jax.lax.dot_general(
         oh,
         xw,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # [GK', 128]
-    return jnp.take_along_axis(op, l_idx, axis=1)  # hw lane gather
 
 
-def _kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1):
+def _chunk_select_gather(base, oh, xc_ref, l_raw, qg, ng=1, window=1):
+    """op = onehot @ x_window (MXU, exact) ; g = lane-gather(op, lidx).
+
+    window=2: two chunk-select dots against the SAME aligned x window
+    (block 1 of the one-hot selects base_k+1 directly), two hw gathers,
+    combined by the sub bit packed in bit 7 of the int8 lidx."""
+    if window == 2:
+        xw = xc_ref[pl.ds(base, qg), :]  # [Qg, 128]
+        u = l_raw & 255  # undo int8 sign extension
+        lane_i = u & 127
+        sub = u >> 7
+        g0 = jnp.take_along_axis(_dot_oh(oh[:, :qg], xw), lane_i, axis=1)
+        g1 = jnp.take_along_axis(_dot_oh(oh[:, qg:], xw), lane_i, axis=1)
+        return jnp.where(sub == 1, g1, g0)
+    xw = expand_window(xc_ref[pl.ds(base, qg), :], ng)  # [NG*Qg, 128]
+    return jnp.take_along_axis(_dot_oh(oh, xw), l_raw, axis=1)
+
+
+def batched_select_gather(base, oh, li, x_ref, nf, qg, gk, ng=1, window=1):
+    """Feature-batched chunk-select + lane-gather for the slotted GNN
+    kernels: x_ref [F, n_chunks, 128] (VMEM-resident), oh [GK', W*NG*Qg]
+    f32, li [GK', T] i32 (raw int8 cast — bit 7 = sub when window=2).
+    Returns gathered x_j planes [F, GK', T]."""
+
+    def one(ohp, xw):
+        oh_b = jnp.broadcast_to(ohp[None], (nf,) + ohp.shape)
+        op = jax.lax.dot_general(
+            oh_b, xw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [F, GK', 128]
+        return op.reshape(nf * gk, LANE)
+
+    if window == 2:
+        xw = x_ref[:, pl.ds(base, qg), :]  # [F, Qg, 128]
+        u = li & 255
+        lane2 = jnp.broadcast_to((u & 127)[None], (nf,) + li.shape).reshape(
+            nf * gk, LANE
+        )
+        sub2 = jnp.broadcast_to((u >> 7)[None], (nf,) + li.shape).reshape(
+            nf * gk, LANE
+        )
+        g0 = jnp.take_along_axis(one(oh[:, :qg], xw), lane2, axis=1)
+        g1 = jnp.take_along_axis(one(oh[:, qg:], xw), lane2, axis=1)
+        return jnp.where(sub2 == 1, g1, g0).reshape(nf, gk, LANE)
+    xw = expand_window(x_ref[:, pl.ds(base, qg), :], ng)
+    li2 = jnp.broadcast_to(li[None], (nf,) + li.shape).reshape(nf * gk, LANE)
+    gv = jnp.take_along_axis(one(oh, xw), li2, axis=1)
+    return gv.reshape(nf, gk, LANE)
+
+
+def _kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1,
+            window: int = 1):
     def kernel(base_ref, oh_ref, l_ref, v_ref, x_ref, out_ref):
         s = pl.program_id(0)
-        oh = oh_ref[0].astype(jnp.float32)  # [GK', NG*Qg]
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', W*NG*Qg]
         l_idx = l_ref[0].astype(jnp.int32)  # lidx stored int8
-        gv = _chunk_select_gather(base_ref[s], oh, x_ref, l_idx, qg, ng)
+        gv = _chunk_select_gather(base_ref[s], oh, x_ref, l_idx, qg, ng,
+                                  window)
         prod = (v_ref[0] * gv).reshape(kp, group, tile)
         out_ref[0] = jnp.sum(prod, axis=0)  # [G, T]
 
@@ -85,7 +135,7 @@ def gsel_spmv_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=_plane_specs(gk, ng * qg, t)
+        in_specs=_plane_specs(gk, g.window * ng * qg, t)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],  # x chunks, resident
         out_specs=pl.BlockSpec(
             (1, grp, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
@@ -95,7 +145,7 @@ def gsel_spmv_pallas(
     # constants stay i32 (Mosaic cannot legalize i64)
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _kernel(grp, qg, kp, t, ng),
+            _kernel(grp, qg, kp, t, ng, g.window),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_steps, grp, t), jnp.float32),
             interpret=interpret,
@@ -119,7 +169,8 @@ def _two_prod(a, b):
     return p, err
 
 
-def _ds_kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1):
+def _ds_kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1,
+               window: int = 1):
     def kernel(
         base_ref, oh_ref, l_ref, vh_ref, vl_ref, xh_ref, xl_ref,
         outh_ref, outl_ref, gh_ref, gl_ref,
@@ -130,10 +181,10 @@ def _ds_kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1):
         l_idx = l_ref[0].astype(jnp.int32)
         # phase 1 (vectorized): gather hi/lo x per slot into VMEM scratch
         gh_ref[...] = _chunk_select_gather(
-            base, oh, xh_ref, l_idx, qg, ng
+            base, oh, xh_ref, l_idx, qg, ng, window
         ).reshape(kp, group, tile)
         gl_ref[...] = _chunk_select_gather(
-            base, oh, xl_ref, l_idx, qg, ng
+            base, oh, xl_ref, l_idx, qg, ng, window
         ).reshape(kp, group, tile)
 
         # phase 2: Kahan-compensated reduction over K' with TwoProd terms
@@ -185,7 +236,7 @@ def gsel_spmv_ds_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=_plane_specs(gk, ng * qg, t)
+        in_specs=_plane_specs(gk, g.window * ng * qg, t)
         + [
             pl.BlockSpec((1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x hi chunks
@@ -202,7 +253,7 @@ def gsel_spmv_ds_pallas(
     )
     with jax.enable_x64(False):
         yh, yl = pl.pallas_call(
-            _ds_kernel(grp, qg, kp, t, ng),
+            _ds_kernel(grp, qg, kp, t, ng, g.window),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n_steps, grp, t), jnp.float32),

@@ -54,6 +54,11 @@ def _load():
         i64, p_i64, p_i32, p_i32, p_i32, i64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, p_i32, p_i32,
     ]
+    lib.gsel_window_fit.restype = i64
+    lib.gsel_window_fit.argtypes = [
+        i64, p_i64, p_i32, p_i32, i64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, p_i32, p_i32,
+    ]
     _lib = lib
     return lib
 
@@ -78,6 +83,27 @@ def gsel_first_fit(tile, lg, q, rlane, n_tiles, ng, tile_rows, max_k):
     if kprime < 0:
         return None
     return slot_k, qmap, int(kprime)
+
+
+def gsel_window_fit(tile, q, rlane, n_tiles, window, tile_rows, max_k):
+    """Greedy tile-coordinated w-window slot assignment
+    (csrc/gsel_assign.cpp). Edges must be sorted by (tile, chunk, row).
+    Returns (slot_k [nnz] int32, base [n_tiles, max_k] int32 with -1
+    unset, kprime) or None if max_k is exceeded."""
+    lib = _load()
+    nnz = len(tile)
+    slot_k = np.zeros(nnz, np.int32)
+    base = np.full((n_tiles, max_k), -1, np.int32)
+    kprime = lib.gsel_window_fit(
+        nnz,
+        np.ascontiguousarray(tile, np.int64),
+        np.ascontiguousarray(q, np.int32),
+        np.ascontiguousarray(rlane, np.int32),
+        n_tiles, window, tile_rows, max_k, slot_k, base,
+    )
+    if kprime < 0:
+        return None
+    return slot_k, base, int(kprime)
 
 
 def _lower_csr(a: sp.csr_matrix) -> sp.csr_matrix:

@@ -52,11 +52,11 @@ _STEP_US = 0.33  # us per grid step
 
 
 def _step_bytes(g: GselPlanes, lane_groups: int) -> int:
-    # input blocks per grid step: onehot i8 [GK', NG*Qg], lidx i8
+    # input blocks per grid step: onehot i8 [GK', W*NG*Qg], lidx i8
     # [GK', T], vals f32 [GK', T], out f32 [G, T]
     gk = g.group * g.k_width
     return (
-        gk * g.q_chunks * lane_groups
+        gk * g.q_chunks * lane_groups * g.window
         + gk * g.tile
         + gk * g.tile * 4
         + g.group * g.tile * 4
@@ -71,6 +71,7 @@ def build_gsel_csr(
     double_single: bool = False,
     lane_groups: int = 1,
     dtype=np.float32,
+    window: int = 1,
 ) -> Optional[GselPlanes]:
     """CSR -> gsel planes. With `group=None` (production default) the tile
     group G is chosen by the fitted cost model above among VMEM-feasible
@@ -94,7 +95,8 @@ def build_gsel_csr(
         while group >= 1:
             g = build_gsel(a, tile=tile, group=group, max_q=max_q,
                            double_single=double_single,
-                           lane_groups=lane_groups, dtype=dtype)
+                           lane_groups=lane_groups, dtype=dtype,
+                           window=window)
             if g is None:
                 # group window exceeded max_q chunks: fewer tiles per group
                 # narrow the union window; at group == 1 the pattern is
@@ -114,7 +116,7 @@ def build_gsel_csr(
             break  # sub-8 groups starve the MXU (measured G=4 regression)
         g = build_gsel(a, tile=tile, group=cand, max_q=max_q,
                        double_single=double_single, lane_groups=lane_groups,
-                       dtype=dtype)
+                       dtype=dtype, window=window)
         if g is None or _step_bytes(g, lane_groups) > budget:
             continue
         cost = (
