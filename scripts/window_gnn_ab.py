@@ -38,32 +38,44 @@ def main():
         from tpu_spai.gnn.slotted import fused_safe_group
 
         grids = {}
-        w2_group = 6 if res >= 40 else None  # chain-safe at large n
-        for name, kw in (("ng8w1", dict(lane_groups=8)),
+        for name, kw in (("ng8w1", dict(lane_groups=8, window=1)),
                          ("ng1w2", dict(window=2))):
             sg = build_slot_graph(coo.row, coo.col, coo.data, n, **kw)
             gsafe = fused_safe_group(
                 sg.pattern.k_width, sg.pattern.n_cols,
                 window=sg.pattern.window, q_chunks=sg.pattern.q_chunks,
             )
-            if name == "ng1w2" and w2_group is not None:
-                gsafe = w2_group
             if sg.pattern.group > gsafe:
                 sg = build_slot_graph(coo.row, coo.col, coo.data, n,
                                       group=gsafe, **kw)
-            e_f = slot_scatter(sg, ef)
-            e_r = slot_scatter(sg, ef, reverse=True)
+            grids[name] = (sg, kw)
+
+        # device parity first (retry with halved group on a VMEM OOM,
+        # mirroring cli/infer.py)
+        outs = {}
+        for name in list(grids):
+            sg, kw = grids[name]
+            while True:
+                try:
+                    e_f = slot_scatter(sg, ef)
+                    e_r = slot_scatter(sg, ef, reverse=True)
+                    _, vf, _ = slotted_gnn_forward(params, sg, nf, e_f, e_r,
+                                                   impl="fused")
+                    np.asarray(vf)
+                    break
+                except jax.errors.JaxRuntimeError as exc:
+                    gcur = sg.pattern.group
+                    if "Scoped allocation" not in str(exc) or gcur <= 1:
+                        raise
+                    print(f"  {name}: G={gcur} OOM, retry G={gcur // 2}",
+                          flush=True)
+                    sg = build_slot_graph(coo.row, coo.col, coo.data, n,
+                                          group=max(1, gcur // 2), **kw)
             grids[name] = (sg, e_f, e_r)
             print(f"res={res} {name}: K'={sg.pattern.k_width} "
                   f"G={sg.pattern.group} Qg={sg.pattern.q_chunks} "
                   f"steps={sg.pattern.n_steps} "
                   f"slots={sg.pattern.slots/1e6:.2f}M", flush=True)
-
-        # device parity first
-        outs = {}
-        for name, (sg, e_f, e_r) in grids.items():
-            _, vf, _ = slotted_gnn_forward(params, sg, nf, e_f, e_r,
-                                           impl="fused")
             from tpu_spai.gnn.slotted import slot_gather_edges
             outs[name] = np.asarray(slot_gather_edges(sg, vf[:, None]))
         d = np.abs(outs["ng8w1"] - outs["ng1w2"]).max()

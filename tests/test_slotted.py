@@ -166,3 +166,38 @@ def test_auto_window_picks_by_slots():
     best = min(w2.pattern.slots, ng8.pattern.slots)
     assert auto.pattern.slots <= max(best, int(0.8 * max(
         w2.pattern.slots, ng8.pattern.slots)))
+
+
+def test_streamed_x_window(monkeypatch):
+    # force the HBM-streamed x path (production trigger: x > 2 MB) and
+    # check it matches the resident path on both grid schemes
+    import tpu_spai.gnn.slotted as slotted_mod
+
+    ap, rows, cols, vals, nf, ef = _graph()
+    n = ap.shape[0]
+    x = jnp.asarray(nf)
+    for window in (1, 2):
+        sg = build_slot_graph(rows, cols, vals, n, window=window)
+        resident = np.asarray(
+            gather_feats_pallas(sg.pattern, x, interpret=True)
+        )
+        monkeypatch.setattr(slotted_mod, "STREAM_X_BYTES", 0)
+        jax.clear_caches()
+        streamed = np.asarray(
+            gather_feats_pallas(sg.pattern, x, interpret=True)
+        )
+        np.testing.assert_array_equal(resident, streamed)
+        gnn = NodeEdgeProcessing(edge_out_features=1, num_mp_layers=1)
+        ei = jnp.asarray(np.stack([rows, cols]).astype(np.int32))
+        params = gnn.init(jax.random.key(0), x, ei, jnp.asarray(ef))
+        _, edge_ref = gnn.apply(params, x, ei, jnp.asarray(ef))
+        _, vf, _ = slotted_gnn_forward(
+            params, sg, x, slot_scatter(sg, ef),
+            slot_scatter(sg, ef, reverse=True), impl="fused_interpret",
+        )
+        got = np.asarray(slot_gather_edges(sg, vf[:, None]))[:, 0]
+        np.testing.assert_allclose(
+            got, np.asarray(edge_ref)[:, 0], atol=2e-4
+        )
+        monkeypatch.setattr(slotted_mod, "STREAM_X_BYTES", 2 * 2**20)
+        jax.clear_caches()

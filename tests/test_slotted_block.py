@@ -59,9 +59,10 @@ def _spmv_planes(pattern, vals, x):
     )
 
 
-def test_system_expansion_matches_csr():
+@pytest.mark.parametrize("window", [1, 2])
+def test_system_expansion_matches_csr(window):
     rows, cols, blocks, n_b, _, mask, _ = _block_graph()
-    layout = build_block_slot_layout(rows, cols, n_b, B)
+    layout = build_block_slot_layout(rows, cols, n_b, B, window=window)
     assert layout is not None
     n_s = n_b * B
     ei = np.stack([rows, cols])

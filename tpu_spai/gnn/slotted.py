@@ -83,6 +83,10 @@ def fused_safe_group(
         return max(1, 19968 // (k_width * LANE))
     n_chunks = -(-n_cols // LANE) + q_chunks
     x_bytes = nf * n_chunks * LANE * 4
+    if x_bytes > STREAM_X_BYTES:
+        # kernel streams the per-group window instead (window_or_stream):
+        # only the [nf, Qg, 128] scratch stays resident
+        x_bytes = nf * q_chunks * LANE * 4
     budget = int(15.0 * 2**20) - x_bytes
     return max(1, min(16, budget // (437 * k_width * LANE)))
 
@@ -238,18 +242,23 @@ def gather_feats_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
     return out  # [S, F, GK', T]
 
 
-def _gather_kernel(nf: int, qg: int, gk: int, ng: int = 1, window: int = 1):
+# stream the x planes from HBM per grid step (instead of keeping them
+# VMEM-resident) above this size — see kernels/gsel_pallas.window_or_stream
+STREAM_X_BYTES = 2 * 2**20
+
+
+def _gather_kernel(nf: int, qg: int, gk: int, ng: int = 1, window: int = 1,
+                   stream_x: bool = False):
     from jax.experimental import pallas as pl
 
-    from ..kernels.gsel_pallas import batched_select_gather
+    from ..kernels.gsel_pallas import batched_select_gather, window_or_stream
 
-    def kernel(base_ref, oh_ref, l_ref, x_ref, out_ref):
+    def kernel(base_ref, oh_ref, l_ref, x_ref, out_ref, *scratch):
         s = pl.program_id(0)
         oh = oh_ref[0].astype(jnp.float32)  # [GK', W*NG*Qg]
         li = l_ref[0].astype(jnp.int32)  # [GK', T], stored int8
-        out_ref[0] = batched_select_gather(
-            base_ref[s], oh, li, x_ref, nf, qg, gk, ng, window
-        )
+        xw = window_or_stream(base_ref[s], x_ref, qg, scratch)
+        out_ref[0] = batched_select_gather(xw, oh, li, nf, gk, ng, window)
 
     return kernel
 
@@ -272,6 +281,7 @@ def gather_feats_pallas(
     xc = xt.reshape(nf, n_chunks, LANE)
 
     ng = g.lane_groups
+    stream_x = xc.size * 4 > STREAM_X_BYTES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
@@ -283,15 +293,21 @@ def gather_feats_pallas(
             pl.BlockSpec(
                 (1, gk, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x planes, resident
+            # x planes: VMEM-resident when small, streamed per step when big
+            pl.BlockSpec(memory_space=pl.ANY if stream_x else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, nf, gk, t), lambda s, *_: (s, 0, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((nf, qg, LANE), jnp.float32), pltpu.SemaphoreType.DMA]
+            if stream_x
+            else []
+        ),
     )
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _gather_kernel(nf, qg, gk, ng, g.window),
+            _gather_kernel(nf, qg, gk, ng, g.window, stream_x),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_steps, nf, gk, t), jnp.float32),
             interpret=interpret,

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..kernels.gsel import LANE, GselPlanes
-from ..kernels.gsel_pallas import batched_select_gather
+from ..kernels.gsel_pallas import batched_select_gather, window_or_stream
 
 
 class FoldedFFN(NamedTuple):
@@ -120,7 +120,7 @@ _W_FIELDS = ("w0", "bconst", "sw", "w1", "b1", "w2", "b2")
 
 
 def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
-               edge_residual, emit_edges, ng=1, window=1):
+               edge_residual, emit_edges, ng=1, window=1, stream_x=False):
     m = gk * t
     mc = grp * t
     nw = len(_W_FIELDS)
@@ -128,7 +128,8 @@ def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
     def kernel(base_ref, oh_ref, l_ref, mask_ref, xi_ref, ef_ref, er_ref,
                x_ref, *rest):
         wrefs = rest[: 2 * nw]
-        outs = rest[2 * nw :]
+        outs = rest[2 * nw : 2 * nw + 3]
+        scratch = rest[2 * nw + 3 :]
         agg_ref = outs[0]
         msg_w = {k: wrefs[i][...] for i, k in enumerate(_W_FIELDS)}
         edge_w = {k: wrefs[nw + i][...] for i, k in enumerate(_W_FIELDS)}
@@ -136,9 +137,8 @@ def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
         s = pl.program_id(0)
         oh = oh_ref[0].astype(jnp.float32)  # [GK', W*NG*Qg]
         li = l_ref[0].astype(jnp.int32)  # stored int8
-        gj = batched_select_gather(
-            base_ref[s], oh, li, x_ref, nf, qg, gk, ng, window
-        )
+        xw = window_or_stream(base_ref[s], x_ref, qg, scratch)
+        gj = batched_select_gather(xw, oh, li, nf, gk, ng, window)
         gj = gj.reshape(nf, m)  # [F, M] (k-major slots x lanes)
 
         # x_i: [F, G, T] -> broadcast over K' -> [F, M]
@@ -223,6 +223,9 @@ def fused_mp_layer(
         getattr(edge_ffn, k) for k in _W_FIELDS
     ]
     ng = g.lane_groups
+    from .slotted import STREAM_X_BYTES
+
+    stream_x = xc.size * 4 > STREAM_X_BYTES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
@@ -233,7 +236,8 @@ def fused_mp_layer(
             blk((nf, grp, t)),
             blk((ce, gk, t)),
             blk((ce, gk, t)),
-            full,  # x chunks resident
+            # x chunks: VMEM-resident when small, streamed per step when big
+            pl.BlockSpec(memory_space=pl.ANY) if stream_x else full,
         ]
         + [full] * len(weights),
         out_specs=[
@@ -241,10 +245,16 @@ def fused_mp_layer(
             blk((co, gk, t)),
             blk((co, gk, t)),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((nf, qg, LANE), jnp.float32),
+             pltpu.SemaphoreType.DMA]
+            if stream_x
+            else []
+        ),
     )
     kern = _mp_kernel(
         nf, ce, kp, grp, t, qg, gk, msg_norm, edge_norm,
-        edge_residual, emit_edges, ng, g.window,
+        edge_residual, emit_edges, ng, g.window, stream_x,
     )
     with jax.enable_x64(False):
         agg, efo, ero = pl.pallas_call(

@@ -72,23 +72,23 @@ def _chunk_select_gather(base, oh, xc_ref, l_raw, qg, ng=1, window=1):
     return jnp.take_along_axis(_dot_oh(oh, xw), l_raw, axis=1)
 
 
-def batched_select_gather(base, oh, li, x_ref, nf, qg, gk, ng=1, window=1):
+def batched_select_gather(xw, oh, li, nf, gk, ng=1, window=1, qg=None):
     """Feature-batched chunk-select + lane-gather for the slotted GNN
-    kernels: x_ref [F, n_chunks, 128] (VMEM-resident), oh [GK', W*NG*Qg]
-    f32, li [GK', T] i32 (raw int8 cast — bit 7 = sub when window=2).
-    Returns gathered x_j planes [F, GK', T]."""
+    kernels: xw [F, Qg, 128] (the group's x window, sliced or DMA'd by
+    the caller), oh [GK', W*NG*Qg] f32, li [GK', T] i32 (raw int8 cast —
+    bit 7 = sub when window=2). Returns gathered x_j [F, GK', T]."""
+    qg = xw.shape[1] if qg is None else qg
 
-    def one(ohp, xw):
+    def one(ohp, xop):
         oh_b = jnp.broadcast_to(ohp[None], (nf,) + ohp.shape)
         op = jax.lax.dot_general(
-            oh_b, xw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            oh_b, xop, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [F, GK', 128]
         return op.reshape(nf * gk, LANE)
 
     if window == 2:
-        xw = x_ref[:, pl.ds(base, qg), :]  # [F, Qg, 128]
         u = li & 255
         lane2 = jnp.broadcast_to((u & 127)[None], (nf,) + li.shape).reshape(
             nf * gk, LANE
@@ -99,10 +99,26 @@ def batched_select_gather(base, oh, li, x_ref, nf, qg, gk, ng=1, window=1):
         g0 = jnp.take_along_axis(one(oh[:, :qg], xw), lane2, axis=1)
         g1 = jnp.take_along_axis(one(oh[:, qg:], xw), lane2, axis=1)
         return jnp.where(sub2 == 1, g1, g0).reshape(nf, gk, LANE)
-    xw = expand_window(x_ref[:, pl.ds(base, qg), :], ng)
+    xe = expand_window(xw, ng)
     li2 = jnp.broadcast_to(li[None], (nf,) + li.shape).reshape(nf * gk, LANE)
-    gv = jnp.take_along_axis(one(oh, xw), li2, axis=1)
+    gv = jnp.take_along_axis(one(oh, xe), li2, axis=1)
     return gv.reshape(nf, gk, LANE)
+
+
+def window_or_stream(base, x_ref, qg, scratch):
+    """Produce the group's x window [F, Qg, 128]: a VMEM slice when x is
+    resident (scratch empty), or an inline DMA from HBM into scratch when
+    streamed (scratch = (buf, dma_sem)). The window is ~0.5 MB vs tens of
+    us of per-step compute, so an unoverlapped copy is free; streaming
+    removes the resident-x VMEM footprint that capped the fused GNN at
+    n ~ 250k (docs/PERF.md round-1n)."""
+    if not scratch:
+        return x_ref[:, pl.ds(base, qg), :]
+    buf, sem = scratch
+    cp = pltpu.make_async_copy(x_ref.at[:, pl.ds(base, qg), :], buf, sem)
+    cp.start()
+    cp.wait()
+    return buf[...]
 
 
 def _kernel(group: int, qg: int, kp: int, tile: int, ng: int = 1,
