@@ -147,12 +147,135 @@ def run(res_list, precisions, out_dir="output/scale", reps=5):
     return df
 
 
+def run_construct(res_list, out_dir="output/scale", reps=5):
+    """NeuralSlot construction-time sweep: the fused slotted GNN forward
+    (production 16-feature / 4-MP shape, auto grid scheme — docs/PERF.md
+    round-1n/1o) timed per size by chained-scan differencing. Random
+    params (construction cost is weight-value independent). Writes
+    `all_infer_construct_6.csv` rows Key=NeuralSlot-construct-tpu."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ..datagen.meshes import unit_box_tet
+    from ..dist.partition import rcm_permutation
+    from ..gnn.layers import NodeEdgeProcessing
+    from ..gnn.slotted import (
+        build_slot_graph,
+        fused_safe_group,
+        slot_scatter,
+        slotted_gnn_forward,
+    )
+    from ..logging_utils import get_logger
+    from ..native import laplacian, lumped_mass
+
+    log = get_logger()
+    rows = []
+    for res in res_list:
+        nodes, elems = unit_box_tet(res, res, res)
+        a = sp.csr_matrix(
+            laplacian(nodes, elems) + sp.diags(1e-2 * lumped_mass(nodes, elems))
+        )
+        perm = rcm_permutation(a)
+        ap = a[perm][:, perm].tocsr()
+        ap.sort_indices()
+        coo = ap.tocoo()
+        n = ap.shape[0]
+        rng = np.random.default_rng(0)
+        nf = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+        ef = coo.data.reshape(-1, 1).astype(np.float32)
+        gnn = NodeEdgeProcessing(edge_out_features=1, num_mp_layers=4)
+        ei = jnp.asarray(np.stack([coo.row, coo.col]).astype(np.int32))
+        params = gnn.init(jax.random.key(0), nf, ei, jnp.asarray(ef))
+
+        sg = build_slot_graph(coo.row, coo.col, coo.data, n)
+        while True:
+            gsafe = fused_safe_group(
+                sg.pattern.k_width, sg.pattern.n_cols,
+                window=sg.pattern.window, q_chunks=sg.pattern.q_chunks,
+            )
+            if sg.pattern.group > gsafe:
+                sg = build_slot_graph(coo.row, coo.col, coo.data, n,
+                                      group=gsafe, window=sg.pattern.window)
+            e_f = slot_scatter(sg, ef)
+            e_r = slot_scatter(sg, ef, reverse=True)
+            try:
+                _, vf, _ = slotted_gnn_forward(params, sg, nf, e_f, e_r,
+                                               impl="fused")
+                np.asarray(vf)
+                break
+            except jax.errors.JaxRuntimeError as exc:
+                gcur = sg.pattern.group
+                if "Scoped allocation" not in str(exc) or gcur <= 1:
+                    raise
+                sg = build_slot_graph(coo.row, coo.col, coo.data, n,
+                                      group=max(1, gcur // 2),
+                                      window=sg.pattern.window)
+
+        def chain(k):
+            @jax.jit
+            def f(x0):
+                def body(x, _):
+                    _, vf, _ = slotted_gnn_forward(params, sg, x, e_f, e_r,
+                                                   impl="fused")
+                    return x0 + 1e-20 * vf[0, 0, 0], None
+
+                x, _ = jax.lax.scan(body, x0, None, length=k)
+                return x
+
+            return f
+
+        short, long_ = (4, 24) if n > 60000 else (10, 60)
+        fs, fl = chain(short), chain(long_)
+        np.asarray(fl(nf))
+        np.asarray(fs(nf))
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter(); np.asarray(fs(nf))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); np.asarray(fl(nf))
+            tl = time.perf_counter() - t0
+            per = (tl - ts) / (long_ - short)
+            best = per if best is None or per < best else best
+        pat = sg.pattern
+        log.info(
+            f"n={n}: NeuralSlot construct {best*1e3:.2f} ms "
+            f"(window={pat.window} ng={pat.lane_groups} K'={pat.k_width} "
+            f"G={pat.group})"
+        )
+        rows.append(dict(
+            Key="NeuralSlot-construct-tpu",
+            **{
+                "Solve Time (ms)": 0.0,
+                "Precond Time (ms)": round(best * 1e3, 4),
+                "#Iteration": 0,
+                "Matrix Size": n,
+            },
+        ))
+
+    import pandas as pd
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    df = pd.DataFrame(rows)
+    path = out / "all_infer_construct_6.csv"
+    df.to_csv(path, index=False)
+    log.info(f"wrote {path}")
+    return df
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="17,24,32,41,48")
     ap.add_argument("--prec", default="f32,rr")
     ap.add_argument("--out", default="output/scale")
+    ap.add_argument("--construct", action="store_true",
+                    help="sweep NeuralSlot construction time instead")
     args = ap.parse_args(argv)
+    if args.construct:
+        run_construct([int(r) for r in args.res.split(",")], args.out)
+        return
     run(
         [int(r) for r in args.res.split(",")],
         [p for p in args.prec.split(",") if p],

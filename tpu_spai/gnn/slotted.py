@@ -120,15 +120,16 @@ def build_slot_graph(
     a_val = sp.csr_matrix(
         (np.asarray(values, np.float64).reshape(-1), (rows, cols)), shape=(n, n)
     )
+    probe = None
     if window is None:
         probe_w2 = build_gsel(a_ids, group=group, lane_groups=1, window=2)
         probe_ng = build_gsel(a_ids, group=group, lane_groups=lane_groups)
         if probe_w2 is not None and (
             probe_ng is None or probe_w2.slots <= 0.8 * probe_ng.slots
         ):
-            window = 2
+            window, probe = 2, probe_w2
         else:
-            window = 1
+            window, probe = 1, probe_ng
     if window > 1:
         lane_groups = 1
     # identical pattern => identical slot assignment across the three builds;
@@ -136,8 +137,11 @@ def build_slot_graph(
     # (mirrors solver.gsel_solver.build_gsel_csr)
     g_ids = None
     while group >= 1:
-        g_ids = build_gsel(a_ids, group=group, lane_groups=lane_groups,
-                           window=window)
+        if probe is not None and probe.group == group:
+            g_ids, probe = probe, None  # reuse the winning auto probe
+        else:
+            g_ids = build_gsel(a_ids, group=group, lane_groups=lane_groups,
+                               window=window)
         if g_ids is None:
             if group == 1:
                 return None
