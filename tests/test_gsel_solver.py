@@ -103,3 +103,49 @@ def test_mixed_carrier64():
     x32 = np.asarray(res32.x).reshape(-1)
     rel32 = np.linalg.norm(a @ x32 - np.asarray(b)) / np.linalg.norm(np.asarray(b))
     assert rel <= rel32 * 1.5
+
+
+def test_fused_dots_kernel_and_pcg():
+    # gsel_spmv_dots_pallas: SpMV + in-kernel dot partials (+ fold);
+    # pcg_gsel_fused: iteration-exact vs the production chunk64 loop
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_spai.kernels.gsel_pallas import gsel_spmv_dots_pallas
+    from tpu_spai.solver.gsel_solver import pcg_gsel_fused
+
+    a = _fem(6)
+    n = a.shape[0]
+    rng = np.random.default_rng(5)
+    d = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    g = build_gsel_csr(a, group=4)
+    q, dots = gsel_spmv_dots_pallas(g, d, (d, r), self_dot=True,
+                                    interpret=True)
+    q64 = np.asarray(q, np.float64)
+    want = [np.asarray(d, np.float64) @ q64,
+            np.asarray(r, np.float64) @ q64, q64 @ q64]
+    np.testing.assert_allclose(np.asarray(dots), want, rtol=1e-6)
+    s, dots2 = gsel_spmv_dots_pallas(g, d, (r,), has_fold=True,
+                                     fold_coef=3e-3, interpret=True)
+    s64 = np.asarray(s, np.float64)
+    np.testing.assert_allclose(float(dots2[0]),
+                               np.asarray(r, np.float64) @ s64, rtol=1e-6)
+
+    dd = np.sqrt(a.diagonal())
+    lhat = sp.csr_matrix(sp.diags(1.0 / dd) @ a @ sp.diags(1.0 / dd))
+    gl = build_gsel_csr(lhat, group=4)
+    prec = GselSpaiPrec(gl, gl, jnp.float32(3e-3))
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(a @ xstar, jnp.float32)
+    r0 = pcg_gsel(g, b, prec=prec, rtol=1e-6, max_iter=3000,
+                  dot_dtype="chunk64", impl="xla")
+    r1 = pcg_gsel_fused(g, b, prec=prec, rtol=1e-6, max_iter=3000,
+                        interpret=True)
+    # different rounding path (kernel partials + refresh-on-candidate):
+    # iteration counts agree closely but not bit-exactly
+    assert abs(int(r0.iters) - int(r1.iters)) <= 0.05 * int(r0.iters) + 2
+    assert bool(r1.converged)
+    x1 = np.asarray(r1.x, np.float64).ravel()
+    tr = np.linalg.norm(a @ x1 - np.asarray(b, np.float64))
+    assert tr / np.linalg.norm(np.asarray(b)) < 5e-6

@@ -169,6 +169,147 @@ def gsel_spmv_pallas(
     return out.reshape(-1)[: g.n_rows].astype(x.dtype)
 
 
+def _row_blocks(g: GselPlanes, v: jax.Array) -> jax.Array:
+    """[n] vector -> row-aligned [S, G, T] blocks (zero-padded)."""
+    npad = g.n_steps * g.group * g.tile
+    vp = jnp.zeros((npad,), jnp.float32).at[: g.n_rows].set(
+        v.reshape(-1).astype(jnp.float32)
+    )
+    return vp.reshape(g.n_steps, g.group, g.tile)
+
+
+def _dots_kernel(group, qg, kp, tile, ng, window, n_w, self_dot, fold,
+                 n_steps):
+    """SpMV + in-kernel dot partials (+ optional axpy fold).
+
+    Computes y = A x per tile group; accumulates lane-wise Kahan partials
+    of <w_j, y> for each streamed row array w_j (plus <y, y> when
+    self_dot) in VMEM scratch across the sequential grid, emitting
+    [2P, T] (sums then compensations) at the last step. With fold,
+    y <- y + c * w_fold (the SPAI eps-axpy) before the dots — the scalar
+    reductions of a CG iteration ride the SpMV kernels instead of
+    separate XLA passes (docs/PERF.md round-1p)."""
+    n_parts = n_w + (1 if self_dot else 0)
+
+    def kernel(base_ref, oh_ref, l_ref, v_ref, x_ref, *rest):
+        # rest: [c_ref if fold] [w_refs...] y_ref parts_ref acc comp
+        i = 0
+        c_ref = None
+        if fold:
+            c_ref = rest[0]
+            i = 1
+        w_refs = rest[i : i + n_w]
+        y_ref, parts_ref, acc_ref, comp_ref = rest[i + n_w : i + n_w + 4]
+
+        s = pl.program_id(0)
+
+        @pl.when(s == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            comp_ref[...] = jnp.zeros_like(comp_ref)
+
+        oh = oh_ref[0].astype(jnp.float32)
+        l_idx = l_ref[0].astype(jnp.int32)
+        gv = _chunk_select_gather(base_ref[s], oh, x_ref, l_idx, qg, ng,
+                                  window)
+        y = jnp.sum((v_ref[0] * gv).reshape(kp, group, tile), axis=0)
+        ws = [w_refs[j][0] for j in range(n_w)]
+        if fold:
+            y = y + c_ref[0] * ws[-1]  # fold stream is the LAST w
+        y_ref[0] = y
+
+        ops = [(ws[j], y) for j in range(n_w)]
+        if self_dot:
+            ops.append((y, y))
+        for j, (a, bb) in enumerate(ops):
+            p = jnp.sum(a * bb, axis=0)  # [T] lane partial of this step
+            acc = acc_ref[j]
+            t_new = acc + p
+            bv = t_new - acc
+            comp_ref[j] = comp_ref[j] + ((acc - (t_new - bv)) + (p - bv))
+            acc_ref[j] = t_new
+
+        @pl.when(s == n_steps - 1)
+        def _():
+            parts_ref[0, :n_parts] = acc_ref[...]
+            parts_ref[0, n_parts:] = comp_ref[...]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("self_dot", "has_fold", "interpret"))
+def gsel_spmv_dots_pallas(
+    g: GselPlanes,
+    x: jax.Array,  # [n_cols] f32 (SpMV input)
+    dot_rows: tuple,  # row vectors [n_rows] to dot against the output
+    self_dot: bool = False,
+    has_fold: bool = False,
+    fold_coef=None,  # scalar; with has_fold, y += coef * dot_rows[-1]
+    interpret: bool = False,
+):
+    """y = A x (+ coef*w_fold), plus f64-grade dot partials.
+
+    Returns (y [n_rows], dots [P] f64) with P = len(dot_rows) +
+    self_dot; dots[j] = <dot_rows[j], y> (after the fold), dots[-1] =
+    <y, y> when self_dot. Partials are lane-Kahan f32 pairs combined in
+    f64 — accuracy comparable to the chunk64 host dot."""
+    kp, t, qg, grp = g.k_width, g.tile, g.q_chunks, g.group
+    ng = g.lane_groups
+    gk = grp * kp
+    n_steps = g.n_steps
+    xc = _chunked_x(g, x)
+    n_w = len(dot_rows)
+    n_parts = n_w + (1 if self_dot else 0)
+    assert n_parts >= 1
+    w_blocks = [_row_blocks(g, w) for w in dot_rows]
+
+    blk = lambda: pl.BlockSpec(  # noqa: E731
+        (1, grp, t), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
+    )
+    # specs for: onehot, lidx, vals (plane stream) + resident x chunks
+    in_specs = _plane_specs(gk, g.window * ng * qg, t) + [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x chunks
+    ]
+    args = [g.group_base, g.onehot, g.lidx, g.vals, xc]
+    if has_fold:
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.VMEM)  # coef [1] resident
+        )
+        args.append(jnp.asarray(fold_coef, jnp.float32).reshape(1))
+    in_specs += [blk() for _ in range(n_w)]
+    args += w_blocks
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=in_specs,  # group_base goes via scalar prefetch
+        out_specs=[
+            blk(),
+            pl.BlockSpec((1, 2 * n_parts, t), lambda s, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_parts, t), jnp.float32),
+            pltpu.VMEM((n_parts, t), jnp.float32),
+        ],
+    )
+    with jax.enable_x64(False):
+        y, parts = pl.pallas_call(
+            _dots_kernel(grp, qg, kp, t, ng, g.window, n_w, self_dot,
+                         has_fold, n_steps),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_steps, grp, t), jnp.float32),
+                jax.ShapeDtypeStruct((1, 2 * n_parts, t), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*args)
+    sums = parts[0, :n_parts].astype(jnp.float64)
+    comps = parts[0, n_parts:].astype(jnp.float64)
+    dots = jnp.sum(sums, axis=1) + jnp.sum(comps, axis=1)  # [P] f64
+    return y.reshape(-1)[: g.n_rows], dots
+
+
 def _split(a):
     """Veltkamp split: a = ah + al with 12-bit halves (f32, exact)."""
     c = a * 4097.0

@@ -273,6 +273,110 @@ def pcg_gsel(
     )
 
 
+def _fused_run(g_a, l_fwd, l_t, eps, inv_diag, b32, rtol_s, max_it,
+               interpret=False):
+    """Fused SPAI-PCG iteration: the three scalar reductions and the
+    eps-axpy of each iteration ride the SpMV Pallas kernels
+    (gsel_spmv_dots_pallas) instead of separate XLA passes, and ||r||^2
+    advances by the exact CG recurrence
+        <r',r'> = <r,r> - 2a<r,q> + a^2<q,q>
+    from kernel-accumulated partials. ~30% per-iteration win at n=15.6k
+    (docs/PERF.md round-1p). f32 vectors, f64 scalars."""
+    from ..kernels.gsel_pallas import gsel_spmv_dots_pallas, gsel_spmv_pallas
+
+    n = g_a.n_rows
+    b = b32.reshape(-1).astype(jnp.float32)
+
+    def papply_delta(r):
+        # s = L (D (L^T r)) + eps D r ; delta = <r, s>
+        u = gsel_spmv_pallas(l_t, r, interpret=interpret)
+        if inv_diag is not None:
+            u = u * inv_diag
+            rf = r * inv_diag
+            s, dots = gsel_spmv_dots_pallas(
+                l_fwd, u, (r, rf), has_fold=True, fold_coef=eps,
+                interpret=interpret,
+            )
+            return s, dots[0]
+        s, dots = gsel_spmv_dots_pallas(
+            l_fwd, u, (r,), has_fold=True, fold_coef=eps,
+            interpret=interpret,
+        )
+        return s, dots[0]
+
+    from .cg import _dot
+
+    x = jnp.zeros_like(b)
+    r = b
+    s, delta = papply_delta(r)
+    bnorm2 = _dot(b, b, "chunk64")
+    rnorm2 = bnorm2
+    tol2 = (rtol_s * rtol_s) * jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny)
+
+    def cond(st):
+        return jnp.logical_and(st[4] > tol2, st[5] < max_it)
+
+    def body(st):
+        x, r, d, delta, rnorm2, it = st
+        q, k1 = gsel_spmv_dots_pallas(
+            g_a, d, (d, r), self_dot=True, interpret=interpret
+        )
+        dq, rq, qq = k1[0], k1[1], k1[2]
+        alpha32 = (delta / dq).astype(jnp.float32)
+        a64 = alpha32.astype(jnp.float64)
+        x = x + alpha32 * d
+        r = r - alpha32 * q
+        rnorm2 = rnorm2 - 2.0 * a64 * rq + a64 * a64 * qq
+        # the scalar recurrence drifts from the stored f32 r over long
+        # solves; re-measure <r, r> directly at any candidate convergence
+        # (the loop can then only exit on a real norm — same measured
+        # quantity as pcg_gsel) and periodically as drift control
+        rnorm2 = jax.lax.cond(
+            (rnorm2 <= tol2) | ((it + 1) % 16 == 0),
+            lambda rr: _dot(r, r, "chunk64"),
+            lambda rr: rr,
+            rnorm2,
+        )
+        s, delta_new = papply_delta(r)
+        beta = (delta_new / delta).astype(jnp.float32)
+        d = s + beta * d
+        return x, r, d, delta_new, rnorm2, it + 1
+
+    st = (x, r, s, delta, rnorm2, jnp.int32(0))
+    x, r, _, _, rnorm2, iters = jax.lax.while_loop(cond, body, st)
+    relres = jnp.sqrt(
+        rnorm2 / jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny)
+    )
+    return x[:n], iters, relres, rnorm2 <= tol2
+
+
+_fused_run_jit = jax.jit(_fused_run, static_argnames=("interpret",))
+
+
+def pcg_gsel_fused(
+    g_a: GselPlanes,
+    b: jax.Array,
+    prec: GselSpaiPrec,
+    rtol: float = 1e-6,
+    max_iter: int = 1000,
+    interpret: bool = False,
+) -> CGResult:
+    """SPAI-preconditioned CG with fused-kernel scalar reductions (see
+    _fused_run). Production fast path for the f32 + chunk64-grade
+    configuration; semantics match `pcg_gsel(..., dot_dtype="chunk64")`
+    up to rounding (iteration counts typically within +-1)."""
+    b32 = b.reshape(-1)
+    inv_d = None if prec.inv_diag is None else jnp.asarray(
+        prec.inv_diag, jnp.float32
+    )
+    x, iters, relres, conv = _fused_run_jit(
+        g_a, prec.l_fwd, prec.l_t, jnp.float32(prec.epsilon), inv_d,
+        b32, jnp.float64(rtol), jnp.int32(max_iter), interpret=interpret,
+    )
+    return CGResult(x=x.astype(b.dtype), iters=iters, relres=relres,
+                    converged=conv)
+
+
 def _ds_papply(prec, r, mv):
     """Shared SPAI apply on DS pair state (prec=None -> identity)."""
     from ..kernels.ds import DS, ds_add, ds_from_f64, ds_scale
