@@ -64,7 +64,7 @@ def test_infer_cli_writes_csvs(trained):
     assert "Matrix Size" in df.columns
     keys = set(df["Key"]) if "Key" in df.columns else set(df.iloc[:, 0])
     # gsel fast-kernel row must be present (xla impl on CPU)
-    assert any("Neural+TPUw" in str(k) for k in keys), keys
+    assert any("Neural+TPU" in str(k) for k in keys), keys
     assert any("Neural" == str(k) for k in keys), keys
     # fully on-device slot-layout construction + solve row
     assert any("NeuralSlot+TPU" in str(k) for k in keys), keys

@@ -31,7 +31,7 @@ from ..bench import Timestat
 from ..config import cli_config
 from ..data.batching import collate
 from ..logging_utils import get_logger
-from ..solver import pcg, spai_prec, spai_scaled_prec
+from ..solver import pcg
 from ..solver.host_baselines import get_cg_iter_time, get_pcg_iter_time, direct_solve_time
 from ..sparse.convert import csr_to_graph, graph_to_csr
 from ..train import get_workspace
@@ -193,26 +193,13 @@ def main(argv=None):
             )
             stats.put("Neural", sol, prec_t, it, msize)
 
-            gl = csr_to_graph(l_csr)
-            if scaled:
-                inv_d = jnp.asarray(
-                    (1.0 / a_csr.diagonal()).reshape(ga.n_nodes, ga.block_size)
-                )
-                pr = spai_scaled_prec(gl, workspace.epsilon, inv_d)
-            else:
-                pr = spai_prec(gl, workspace.epsilon)
-            res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-            res.x.block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(repeat):
-                res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-                res.x.block_until_ready()
-            dt = (time.perf_counter() - t0) / repeat
-            stats.put("Neural+TPU", dt, prec_t, float(res.iters), msize)
-
-            # gsel fast-kernel solve (production path, kernels/gsel_pallas;
-            # covers unbandable patterns too — the CSV key stays
-            # "Neural+TPUw" for continuity with earlier result files)
+            # gsel fast-kernel solve of the host-built factor (production
+            # device path, kernels/gsel_pallas; covers unbandable patterns
+            # too). Reported as "Neural+TPU" — the analog of the
+            # reference's Neural+CUDA column. (The first-generation
+            # graph-form XLA solve that used to fill this row is ~50x
+            # slower per iteration — solver/cg.pcg with spmv_xla — and is
+            # still covered by tests/test_cg.py.)
             if bool(cfg.select("use_windowed", True)):
                 try:
                     from ..dist.partition import rcm_permutation
@@ -222,7 +209,14 @@ def main(argv=None):
                         pcg_gsel,
                     )
 
-                    dev_prec = str(cfg.select("device_precision", "f32"))
+                    # default device precision: residual-replacement mixed
+                    # CG — f32 iteration cost with honest fp64-grade
+                    # stopping, so the Neural+TPU iteration count matches
+                    # the host fp64 oracle instead of inflating on
+                    # ill-conditioned families (docs/PERF.md f32
+                    # stopping-honesty study). Override with
+                    # +device_precision={f32,c64,ds} for the sweeps.
+                    dev_prec = str(cfg.select("device_precision", "rr"))
                     wperm = rcm_permutation(a_csr)
                     a_p = a_csr[wperm][:, wperm].tocsr()
                     a_p.sort_indices()
@@ -287,7 +281,7 @@ def main(argv=None):
                             np.asarray(wres.x)
                         dtw = (time.perf_counter() - t0) / repeat
                         stats.put(
-                            "Neural+TPUw", dtw, prec_t, float(wres.iters), msize
+                            "Neural+TPU", dtw, prec_t, float(wres.iters), msize
                         )
 
                     # fully on-device path: slot-layout GNN
@@ -416,17 +410,35 @@ def main(argv=None):
                                 vf.block_until_ready()
                             prec_slot = (time.perf_counter() - t0) / repeat
 
-                            blocks_v = (
+                            blocks64 = (
                                 np.asarray(batch.graph.blocks)[:e_valid]
                                 .reshape(-1, bb)
-                                .astype(np.float32)
+                                .astype(np.float64)
                             )
+                            blocks_v = blocks64.astype(np.float32)
                             ap_sc = slot_scatter(sg_b, blocks_v)
                             a_vf, _ = expand_block_planes(
                                 layout, ap_sc, ap_sc
                             )
+                            a_lo = None
+                            if rr:
+                                # double-single A planes for the honest
+                                # rr re-anchor: the mask scale/add values
+                                # are exact {0,1}, so (hi, lo) stays an
+                                # exact split of the f64 system matrix
+                                lo_v = (
+                                    blocks64 - blocks_v.astype(np.float64)
+                                ).astype(np.float32)
+                                lo_sc = slot_scatter(sg_b, lo_v)
+                                a_lo, _ = expand_block_planes(
+                                    layout, lo_sc, lo_sc
+                                )
                             apl = _dc.replace(
-                                layout.pattern, vals=a_vf * s_sys + a_sys
+                                layout.pattern,
+                                vals=a_vf * s_sys + a_sys,
+                                vals_lo=(
+                                    None if a_lo is None else a_lo * s_sys
+                                ),
                             )
                             lpl = _dc.replace(layout.pattern, vals=vf)
                             ltp = _dc.replace(layout.pattern, vals=vr)
@@ -449,20 +461,26 @@ def main(argv=None):
                             b_slot = jnp.asarray(
                                 (a_csr @ r)[sperm], dtype=jnp.float32
                             )
-                            mx = dev_prec == "c64"
-                            sres = pcg_gsel(
-                                apl, b_slot, prec=sprec, rtol=rtol,
-                                max_iter=msize, dot_dtype="chunk64",
-                                impl=impl, mixed=mx,
-                            )
-                            np.asarray(sres.x)
-                            t0 = time.perf_counter()
-                            for _ in range(repeat):
-                                sres = pcg_gsel(
+                            if rr:
+                                from ..solver.gsel_solver import pcg_gsel_rr
+
+                                slot_solve = lambda: pcg_gsel_rr(  # noqa: E731
+                                    apl, b_slot.astype(jnp.float64),
+                                    prec=sprec, rtol=rtol, max_iter=msize,
+                                    impl=impl,
+                                )
+                            else:
+                                mx = dev_prec == "c64"
+                                slot_solve = lambda: pcg_gsel(  # noqa: E731
                                     apl, b_slot, prec=sprec, rtol=rtol,
                                     max_iter=msize, dot_dtype="chunk64",
                                     impl=impl, mixed=mx,
                                 )
+                            sres = slot_solve()
+                            np.asarray(sres.x)
+                            t0 = time.perf_counter()
+                            for _ in range(repeat):
+                                sres = slot_solve()
                                 np.asarray(sres.x)
                             dts = (time.perf_counter() - t0) / repeat
                             stats.put(
