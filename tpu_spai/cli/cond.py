@@ -105,15 +105,40 @@ def main(argv=None):
         )
         a_dense = a_csr.toarray()
 
-        put("neural", condition_number(
+        def guarded(name, fn):
+            # classical factorizations can break down on hostile samples
+            # (AINV pivots ~0, IC0 non-existence) — log and skip the
+            # method, keep the study going (reference-style robustness,
+            # infer.py:361-370)
+            try:
+                put(name, fn())
+            except Exception as e:  # noqa: BLE001
+                log.warning(f"sample {i}: {name} skipped ({e})")
+                put(name, (np.nan, np.nan))
+
+        guarded("neural", lambda: condition_number(
             a_dense, precondition_dense(workspace, params, batch, a_dense, e_valid)
         ))
-        put("none", condition_number(a_dense))
-        put("diag", condition_number(a_dense, np.diag(1.0 / np.diag(a_dense))))
-        z, p = native_ainv(a_csr)
-        put("ainv", condition_number(a_dense, (z @ np.diag(1.0 / p) @ z.T.toarray())))
-        lfac = native_ic0(a_csr).toarray()
-        put("ichol", condition_number(a_dense, np.linalg.inv(lfac @ lfac.T)))
+        guarded("none", lambda: condition_number(a_dense))
+        guarded("diag", lambda: condition_number(
+            a_dense, np.diag(1.0 / np.diag(a_dense))
+        ))
+
+        def _ainv():
+            z, p = native_ainv(a_csr)
+            if not np.all(np.isfinite(1.0 / p)):
+                raise FloatingPointError("AINV pivot breakdown")
+            return condition_number(
+                a_dense, (z @ np.diag(1.0 / p) @ z.T.toarray())
+            )
+
+        guarded("ainv", _ainv)
+
+        def _ichol():
+            lfac = native_ic0(a_csr).toarray()
+            return condition_number(a_dense, np.linalg.inv(lfac @ lfac.T))
+
+        guarded("ichol", _ichol)
         log.info(f"sample {i}: " + ", ".join(f"{k}={v[-1]:.1f}" for k, v in stat.items()))
 
     exp_name = cfg.exp_name
@@ -122,7 +147,7 @@ def main(argv=None):
 
     def do_save(d, name):
         table = pd.DataFrame(d)
-        fname = out_dir / f"{name}_cond_{exp_name}.csv"
+        fname = out_dir / f"{name}_{exp_name}.csv"
         table.to_csv(fname, index=False)
         log.info(f"saved {fname}")
         try:
@@ -137,7 +162,7 @@ def main(argv=None):
             plt.ylabel("Condition Number")
             if name == "cond":
                 plt.yscale("log")
-            plt.savefig(out_dir / f"{name}_cond_{exp_name}.png", dpi=150)
+            plt.savefig(out_dir / f"{name}_{exp_name}.png", dpi=150)
             plt.close()
         except Exception as e:  # noqa: BLE001
             log.warning(f"plot skipped: {e}")
