@@ -371,6 +371,13 @@ def gsel_spmv_xla(g: GselPlanes, x: jax.Array) -> jax.Array:
     return ys.reshape(-1)[: g.n_rows].astype(x.dtype)
 
 
+def gsel_spmv_multi_xla(g: GselPlanes, xs: jax.Array) -> jax.Array:
+    """Reference multi-RHS SpMV (CPU/tests): xs [k, n_cols] -> [k, n_rows].
+    vmap of the single-column scan — per-column reduction order is
+    identical to `gsel_spmv_xla`, so columns match it bit-for-bit in f32."""
+    return jax.vmap(lambda v: gsel_spmv_xla(g, v))(xs)
+
+
 def gsel_spmv_ds_xla(g: GselPlanes, x_hi: jax.Array, x_lo: jax.Array):
     """Reference double-single SpMV (CPU/tests): computes the product in
     real f64 over the same slot grid and splits the result into an f32

@@ -54,22 +54,29 @@ def _dot_oh(oh, xw):
     )  # [GK', 128]
 
 
-def _chunk_select_gather(base, oh, xc_ref, l_raw, qg, ng=1, window=1):
-    """op = onehot @ x_window (MXU, exact) ; g = lane-gather(op, lidx).
+def _select_gather_window(xw, oh, l_raw, qg, ng=1, window=1):
+    """op = onehot @ x_window (MXU, exact) ; g = lane-gather(op, lidx),
+    on an ALREADY-SLICED [Qg, 128] window.
 
     window=2: two chunk-select dots against the SAME aligned x window
     (block 1 of the one-hot selects base_k+1 directly), two hw gathers,
     combined by the sub bit packed in bit 7 of the int8 lidx."""
     if window == 2:
-        xw = xc_ref[pl.ds(base, qg), :]  # [Qg, 128]
         u = l_raw & 255  # undo int8 sign extension
         lane_i = u & 127
         sub = u >> 7
         g0 = jnp.take_along_axis(_dot_oh(oh[:, :qg], xw), lane_i, axis=1)
         g1 = jnp.take_along_axis(_dot_oh(oh[:, qg:], xw), lane_i, axis=1)
         return jnp.where(sub == 1, g1, g0)
-    xw = expand_window(xc_ref[pl.ds(base, qg), :], ng)  # [NG*Qg, 128]
-    return jnp.take_along_axis(_dot_oh(oh, xw), l_raw, axis=1)
+    return jnp.take_along_axis(_dot_oh(oh, expand_window(xw, ng)), l_raw,
+                               axis=1)
+
+
+def _chunk_select_gather(base, oh, xc_ref, l_raw, qg, ng=1, window=1):
+    """`_select_gather_window` with the window sliced from resident x."""
+    return _select_gather_window(
+        xc_ref[pl.ds(base, qg), :], oh, l_raw, qg, ng, window
+    )
 
 
 def batched_select_gather(xw, oh, li, nf, gk, ng=1, window=1, qg=None):
@@ -167,6 +174,80 @@ def gsel_spmv_pallas(
             interpret=interpret,
         )(g.group_base, g.onehot, g.lidx, g.vals, xc)
     return out.reshape(-1)[: g.n_rows].astype(x.dtype)
+
+
+def _multi_kernel(group: int, qg: int, kp: int, tile: int, ng: int,
+                  window: int, k: int, stream_x: bool):
+    def kernel(base_ref, oh_ref, l_ref, v_ref, x_ref, out_ref, *scratch):
+        s = pl.program_id(0)
+        oh = oh_ref[0].astype(jnp.float32)  # [GK', W*NG*Qg]
+        l_idx = l_ref[0].astype(jnp.int32)  # lidx stored int8
+        v = v_ref[0]
+        # the k columns UNROLL over the shared plane loads (onehot/lidx/
+        # vals stay in VMEM registers across the loop — that's the
+        # amortization); each column runs the proven plain 2-D select-dot.
+        # A k-batched dot_general was measured 1.7x SLOWER per column at
+        # n=117k (poor MXU mapping of the batch dim) — docs/PERF.md
+        # round-1q.
+        xw = window_or_stream(base_ref[s], x_ref, qg, scratch)  # [k, Qg, T]
+        for j in range(k):
+            gv = _select_gather_window(xw[j], oh, l_idx, qg, ng, window)
+            out_ref[j, 0] = jnp.sum((v * gv).reshape(kp, group, tile), axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def gsel_spmv_multi_pallas(
+    g: GselPlanes,
+    xs: jax.Array,  # [k, n_cols] — k right-hand-side columns
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-RHS SpMV: Y = A @ X^T for k column vectors in ONE plane pass.
+
+    The grouped-ELL planes (onehot/lidx/vals — the HBM-bandwidth bound of
+    the solve at production sizes) stream through the grid ONCE and are
+    amortized over all k columns; the per-column extra work is one more
+    chunk-select dot + lane gather + multiply-reduce against the already
+    VMEM-resident planes. This is the capability the reference lacks: its
+    multi-RHS datasets solve each rhs column as a separate sample
+    (neural_cg/data.py:392-397, one pymathprim CG per column). Returns
+    [k, n_rows] f32. x windows stream from HBM above STREAM bytes (same
+    scheme as the fused GNN kernels)."""
+    kp, t, qg, grp = g.k_width, g.tile, g.q_chunks, g.group
+    ng = g.lane_groups
+    gk = grp * kp
+    n_steps = g.n_steps
+    k = xs.shape[0]
+    n_chunks = -(-g.n_cols // LANE) + qg
+    xt = jnp.zeros((k, n_chunks * LANE), jnp.float32)
+    xt = xt.at[:, : g.n_cols].set(xs.astype(jnp.float32))
+    xc = xt.reshape(k, n_chunks, LANE)
+    stream_x = xc.size * 4 > 2 * 2**20  # gnn/slotted.STREAM_X_BYTES
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=_plane_specs(gk, g.window * ng * qg, t)
+        + [pl.BlockSpec(memory_space=pl.ANY if stream_x else pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (k, 1, grp, t), lambda s, *_: (0, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((k, qg, LANE), jnp.float32), pltpu.SemaphoreType.DMA]
+            if stream_x
+            else []
+        ),
+    )
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _multi_kernel(grp, qg, kp, t, ng, g.window, k, stream_x),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((k, n_steps, grp, t), jnp.float32),
+            interpret=interpret,
+        )(g.group_base, g.onehot, g.lidx, g.vals, xc)
+    return out.reshape(k, -1)[:, : g.n_rows].astype(xs.dtype)
 
 
 def _row_blocks(g: GselPlanes, v: jax.Array) -> jax.Array:

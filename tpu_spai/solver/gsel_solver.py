@@ -273,6 +273,130 @@ def pcg_gsel(
     )
 
 
+def gsel_matvec_multi(g: GselPlanes, xs: jax.Array, impl: str = "pallas"):
+    """Multi-RHS matvec: xs [k, n_cols] -> [k, n_rows], one plane pass."""
+    from ..kernels.gsel import gsel_spmv_multi_xla
+    from ..kernels.gsel_pallas import gsel_spmv_multi_pallas
+
+    if impl == "pallas":
+        return gsel_spmv_multi_pallas(g, xs)
+    return gsel_spmv_multi_xla(g, xs)
+
+
+def _dot_multi(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Per-column chunk64 dot: [k, n] x [k, n] -> [k] f64. Same scheme as
+    cg._dot('chunk64') applied row-wise — f32 products, f32 sums within
+    128-lane chunks, f64 combine of the n/128 partials — so each column's
+    scalars match the single-RHS solver bit-for-bit."""
+    p = a.astype(jnp.float32) * b.astype(jnp.float32)
+    pad = (-p.shape[1]) % 128
+    if pad:
+        p = jnp.pad(p, ((0, 0), (0, pad)))
+    partial = jnp.sum(p.reshape(p.shape[0], -1, 128), axis=2)
+    return jnp.sum(partial.astype(jnp.float64), axis=1)
+
+
+def _papply_multi(prec, r: jax.Array, impl: str) -> jax.Array:
+    """SPAI apply on [k, n] residual blocks (prec=None -> identity)."""
+    if prec is None:
+        return r
+    lt = gsel_matvec_multi(prec.l_t, r, impl)
+    eps_r = jnp.float32(prec.epsilon) * r
+    if prec.inv_diag is not None:
+        d = prec.inv_diag.astype(jnp.float32)[None, :]
+        lt = lt * d
+        eps_r = eps_r * d
+    return gsel_matvec_multi(prec.l_fwd, lt, impl) + eps_r
+
+
+def _multi_run(g_a, prec, b_rows, rtol_s, max_it, impl):
+    """Jittable k-column PCG (module-level so traces cache across calls).
+
+    One while_loop advances ALL columns; per-column (alpha, beta) keep the
+    Krylov spaces independent, converged columns freeze via masks, and the
+    loop exits when every column is converged (or max_it). Per-column
+    scalar sequences are identical to k separate pcg_gsel solves, so the
+    per-column iteration counts match the single-RHS path exactly."""
+    k = b_rows.shape[0]
+    x = jnp.zeros_like(b_rows)
+    r = b_rows
+    s = _papply_multi(prec, r, impl)
+    delta = _dot_multi(r, s)  # [k]
+    bnorm2 = _dot_multi(b_rows, b_rows)
+    tiny = jnp.finfo(jnp.float64).tiny
+    tol2 = (rtol_s * rtol_s) * jnp.maximum(bnorm2, tiny)
+    rnorm2 = bnorm2
+    iters = jnp.zeros((k,), jnp.int32)
+
+    def cond(st):
+        rn2, it = st[5], st[6]
+        return jnp.logical_and(jnp.any(rn2 > tol2), it < max_it)
+
+    def body(st):
+        x, r, d, delta, iters, rnorm2, it = st
+        active = rnorm2 > tol2  # [k]
+        q = gsel_matvec_multi(g_a, d, impl)
+        dq = _dot_multi(d, q)
+        # alpha=0 freezes a converged column's x and r; its d keeps
+        # evolving as d <- s + d (beta = 1 since r is frozen), which only
+        # grows linearly — no [k, n]-sized masks needed in the hot body
+        alpha = jnp.where(active, delta / jnp.where(dq != 0, dq, 1.0), 0.0)
+        a32 = alpha.astype(jnp.float32)[:, None]
+        x = x + a32 * d
+        r = r - a32 * q
+        s = _papply_multi(prec, r, impl)
+        delta_new = _dot_multi(r, s)
+        beta = (delta_new / jnp.where(delta != 0, delta, 1.0)).astype(
+            jnp.float32
+        )
+        d = s + beta[:, None] * d
+        rnorm2 = _dot_multi(r, r)
+        iters = iters + active.astype(jnp.int32)
+        return x, r, d, delta_new, iters, rnorm2, it + 1
+
+    st = (x, r, s, delta, iters, rnorm2, jnp.int32(0))
+    x, r, _, _, iters, rnorm2, _ = jax.lax.while_loop(cond, body, st)
+    relres = jnp.sqrt(rnorm2 / jnp.maximum(bnorm2, tiny))
+    return x, iters, relres, rnorm2 <= tol2
+
+
+_multi_run_jit = jax.jit(_multi_run, static_argnames=("impl",))
+
+
+def pcg_gsel_multi(
+    g_a: GselPlanes,
+    b: jax.Array,  # [n, k] rhs columns (FolderDataset layout) or [n]
+    prec: Optional[GselSpaiPrec] = None,
+    rtol: float = 1e-6,
+    max_iter: int = 1000,
+    impl: str = "pallas",
+) -> CGResult:
+    """Batched multi-RHS PCG: solves A x_j = b_j for all k columns in one
+    while_loop dispatch whose SpMVs are the multi-RHS gsel kernels — the
+    matrix/factor planes (the HBM bound) are read ONCE per iteration and
+    amortized over the k columns. The reference solves its multi-RHS
+    samples one column at a time (neural_cg/data.py:392-397 expands rhs
+    columns into separate samples; one pymathprim CG each,
+    validate.py:54-121) — this path is a TPU-native improvement, not a
+    translation. Per-column iteration counts match `pcg_gsel` exactly
+    (same chunk64 scalar sequences); converged columns freeze while the
+    rest run on.
+
+    Returns CGResult with x [n, k], iters [k], relres [k], converged [k].
+    """
+    if isinstance(prec, (GselSpaiPrec, GselSpaiPrecDS)) and prec.impl != impl:
+        prec = dataclasses.replace(prec, impl=impl)
+    n = g_a.n_rows
+    b_rows = b.reshape(n, -1).T.astype(jnp.float32)  # [k, n]
+    x, iters, relres, conv = _multi_run_jit(
+        g_a, prec, b_rows, jnp.float64(rtol), jnp.int32(max_iter), impl
+    )
+    return CGResult(
+        x=x.T.astype(b.dtype).reshape(n, -1), iters=iters, relres=relres,
+        converged=conv,
+    )
+
+
 def _fused_run(g_a, l_fwd, l_t, eps, inv_diag, b32, rtol_s, max_it,
                interpret=False):
     """Fused SPAI-PCG iteration: the three scalar reductions and the
