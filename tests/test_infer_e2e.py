@@ -55,6 +55,7 @@ def test_infer_cli_writes_csvs(trained):
         f"pretrained={out}/checkpoints",
         "check_methods=[none,diagonal]",
         "max_samples=1",
+        "+multi_rhs=3",
         f"out_dir={infer_out}",
     ])
     per_sample = infer_out / "all_infer_infer_e2e_6.csv"
@@ -68,3 +69,5 @@ def test_infer_cli_writes_csvs(trained):
     assert any("Neural" == str(k) for k in keys), keys
     # fully on-device slot-layout construction + solve row
     assert any("NeuralSlot+TPU" in str(k) for k in keys), keys
+    # batched multi-RHS row (+multi_rhs=3 -> per-column time, max iters)
+    assert any("NeuralMRHS3+TPU" in str(k) for k in keys), keys

@@ -284,6 +284,56 @@ def main(argv=None):
                             "Neural+TPU", dtw, prec_t, float(wres.iters), msize
                         )
 
+                        # +multi_rhs=K: batched K-column solve of the SAME
+                        # operator (pcg_gsel_multi) — the planes stream once
+                        # per iteration for all columns; 1.8-3.3x cheaper
+                        # than K single solves at reference scales
+                        # (docs/PERF.md round-1q). f32+chunk64 tier; the
+                        # reference solves multi-RHS samples one column at
+                        # a time (neural_cg/data.py:392-397). Reported
+                        # solve time is PER COLUMN; iters is the column max.
+                        k_rhs = int(cfg.select("multi_rhs", 0))
+                        if k_rhs > 1:
+                            from ..solver.gsel_solver import pcg_gsel_multi
+
+                            mprec = (
+                                GselSpaiPrec(
+                                    gl_f, gl_t,
+                                    jnp.float32(workspace.epsilon),
+                                    inv_diag=inv_d,
+                                )
+                                if ds
+                                else wprec
+                            )
+                            gt_cols = np.stack(
+                                [np.asarray(r, np.float64)]
+                                + [
+                                    build_rhs("random", np.asarray(
+                                        batch.mask)[:n_valid], a_ones, rng)
+                                    for _ in range(k_rhs - 1)
+                                ],
+                                axis=1,
+                            )
+                            b_cols = jnp.asarray(
+                                (a_csr @ gt_cols)[wperm], jnp.float32
+                            )
+                            msolve = lambda: pcg_gsel_multi(  # noqa: E731
+                                ga_f, b_cols, prec=mprec, rtol=rtol,
+                                max_iter=msize, impl=impl,
+                            )
+                            mres = msolve()
+                            np.asarray(mres.x)
+                            t0 = time.perf_counter()
+                            for _ in range(repeat):
+                                mres = msolve()
+                                np.asarray(mres.x)
+                            dtm = (time.perf_counter() - t0) / repeat
+                            stats.put(
+                                f"NeuralMRHS{k_rhs}+TPU", dtm / k_rhs,
+                                prec_t, float(np.max(np.asarray(mres.iters))),
+                                msize,
+                            )
+
                     # fully on-device path: slot-layout GNN
                     # construction (gnn/slotted_block.py; b=1 is the
                     # trivial block case). The GNN message-passes over the
