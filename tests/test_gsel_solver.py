@@ -149,3 +149,47 @@ def test_fused_dots_kernel_and_pcg():
     x1 = np.asarray(r1.x, np.float64).ravel()
     tr = np.linalg.norm(a @ x1 - np.asarray(b, np.float64))
     assert tr / np.linalg.norm(np.asarray(b)) < 5e-6
+
+
+def test_classical_ainv_fsai_device_apply_match_host():
+    """Device AINV/FSAI applies (GselSpaiPrec forms used by cli/infer's
+    PCG-{ainv,fsai}-tpu rows) match the host oracle operators
+    (host_baselines.make_preconditioner_op, = reference validate.py:54-86)."""
+    from tpu_spai.native import ainv, fsai
+
+    a = _fem(6)
+    n = a.shape[0]
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n)
+    xj = jnp.asarray(x, jnp.float32)
+
+    # AINV: M^-1 x = Z (p^-1 * (Z^T x))
+    z, p = ainv(a)
+    want = z @ ((1.0 / p) * (z.T @ x))
+    gf = build_gsel_csr(sp.csr_matrix(z), group=4)
+    gt = build_gsel_csr(sp.csr_matrix(z.T).tocsr(), group=4)
+    prec = GselSpaiPrec(gf, gt, jnp.float32(0.0),
+                        inv_diag=jnp.asarray(1.0 / p, jnp.float32),
+                        impl="xla")
+    got = np.asarray(prec(xj), np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4 * np.abs(want).max())
+
+    # FSAI: M^-1 x = G^T (G x)
+    g = fsai(a)
+    want = g.T @ (g @ x)
+    gf = build_gsel_csr(sp.csr_matrix(g.T).tocsr(), group=4)
+    gt = build_gsel_csr(sp.csr_matrix(g), group=4)
+    prec = GselSpaiPrec(gf, gt, jnp.float32(0.0), impl="xla")
+    got = np.asarray(prec(xj), np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4 * np.abs(want).max())
+
+    # and the full device PCG with the FSAI prec converges to the truth
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(a @ xstar, jnp.float32)
+    ga = build_gsel_csr(a, group=4)
+    res = pcg_gsel(ga, b, prec=prec, rtol=1e-6, max_iter=2000,
+                   dot_dtype="chunk64", impl="xla")
+    assert bool(res.converged)
+    xs = np.asarray(res.x, np.float64).ravel()
+    assert np.linalg.norm(a @ xs - np.asarray(b)) / np.linalg.norm(
+        np.asarray(b)) < 5e-6

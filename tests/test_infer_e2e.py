@@ -53,7 +53,7 @@ def test_infer_cli_writes_csvs(trained):
         "gnn_features=8",
         "gnn.num_mp_layers=2",
         f"pretrained={out}/checkpoints",
-        "check_methods=[none,diagonal]",
+        "check_methods=[none,diagonal,ainv,fsai]",
         "max_samples=1",
         "+multi_rhs=3",
         f"out_dir={infer_out}",
@@ -71,3 +71,11 @@ def test_infer_cli_writes_csvs(trained):
     assert any("NeuralSlot+TPU" in str(k) for k in keys), keys
     # batched multi-RHS row (+multi_rhs=3 -> per-column time, max iters)
     assert any("NeuralMRHS3+TPU" in str(k) for k in keys), keys
+    # classical FSAI rides the gsel device path too (2-SpMV apply — the
+    # reference's CUDA columns for these methods, infer.py:310-321). AINV
+    # breaks down (non-finite factor) on this ill-conditioned synthetic
+    # family, so its TPU row must be honestly absent, not nan-filled.
+    assert any("PCG-fsai-tpu" in str(k) for k in keys), keys
+    assert not any("PCG-ainv-tpu" in str(k) for k in keys), keys
+    tpu_rows = df[df["Key"].astype(str).str.contains("tpu")]
+    assert np.isfinite(tpu_rows["#Iteration"].to_numpy(float)).all()

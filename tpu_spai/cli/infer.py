@@ -227,8 +227,51 @@ def main(argv=None):
                     ga_f = build_gsel_csr(a_p, double_single=ds or rr)
                     gl_f = build_gsel_csr(l_p, double_single=ds)
                     gl_t = build_gsel_csr(l_p.T.tocsr(), double_single=ds)
+                    impl = (
+                        "pallas"
+                        if jax.default_backend() == "tpu"
+                        else "xla"
+                    )
+                    b_p = (
+                        jnp.asarray((a_csr @ r)[wperm], dtype=jnp.float32)
+                        if ga_f is not None
+                        else None
+                    )
+
+                    def _timed_device_solve(prec_obj):
+                        """(solve seconds, iters) on the gsel device path
+                        under the selected device-precision tier (shared by
+                        the neural row and the classical AINV/FSAI rows)."""
+                        if rr:
+                            from ..solver.gsel_solver import pcg_gsel_rr
+
+                            solve_ = lambda: pcg_gsel_rr(  # noqa: E731
+                                ga_f, b_p.astype(jnp.float64), prec=prec_obj,
+                                rtol=rtol, max_iter=msize, impl=impl,
+                            )
+                        else:
+                            kw2 = dict(rtol=rtol, max_iter=msize, impl=impl)
+                            if ds:
+                                kw2["precision"] = "ds"
+                            else:
+                                kw2["dot_dtype"] = "chunk64"
+                                # c64: f64 carrier vectors over the f32
+                                # SpMV (mixed refinement)
+                                kw2["mixed"] = dev_prec == "c64"
+                            solve_ = lambda: pcg_gsel(  # noqa: E731
+                                ga_f, b_p, prec=prec_obj, **kw2
+                            )
+                        res_ = solve_()
+                        np.asarray(res_.x)
+                        t0_ = time.perf_counter()
+                        for _ in range(repeat):
+                            res_ = solve_()
+                            np.asarray(res_.x)
+                        return (time.perf_counter() - t0_) / repeat, float(
+                            res_.iters
+                        )
+
                     if ga_f is not None and gl_f is not None and gl_t is not None:
-                        b_p = jnp.asarray((a_csr @ r)[wperm], dtype=jnp.float32)
                         inv_d = (
                             jnp.asarray(1.0 / a_p.diagonal(), jnp.float32)
                             if scaled
@@ -246,43 +289,11 @@ def main(argv=None):
                                 gl_f, gl_t, jnp.float32(workspace.epsilon),
                                 inv_diag=inv_d,
                             )
-                        impl = (
-                            "pallas"
-                            if jax.default_backend() == "tpu"
-                            else "xla"
-                        )
-                        kw = dict(rtol=rtol, max_iter=msize, impl=impl)
-                        if rr:
-                            # residual-replacement mixed CG: f32-cost
-                            # iterations, double-single re-anchoring —
-                            # honest fp64-grade stopping (pcg_gsel_rr)
-                            from ..solver.gsel_solver import pcg_gsel_rr
-
-                            solve = lambda: pcg_gsel_rr(  # noqa: E731
-                                ga_f, b_p.astype(jnp.float64), prec=wprec,
-                                rtol=rtol, max_iter=msize, impl=impl,
-                            )
-                        else:
-                            if ds:
-                                kw["precision"] = "ds"
-                            else:
-                                kw["dot_dtype"] = "chunk64"
-                                # device_precision=c64: f64 carrier vectors
-                                # over the f32 SpMV (mixed refinement)
-                                kw["mixed"] = dev_prec == "c64"
-                            solve = lambda: pcg_gsel(  # noqa: E731
-                                ga_f, b_p, prec=wprec, **kw
-                            )
-                        wres = solve()
-                        np.asarray(wres.x)
-                        t0 = time.perf_counter()
-                        for _ in range(repeat):
-                            wres = solve()
-                            np.asarray(wres.x)
-                        dtw = (time.perf_counter() - t0) / repeat
-                        stats.put(
-                            "Neural+TPU", dtw, prec_t, float(wres.iters), msize
-                        )
+                        # residual-replacement mixed CG (rr default):
+                        # f32-cost iterations, double-single re-anchoring —
+                        # honest fp64-grade stopping (pcg_gsel_rr)
+                        dtw, w_it = _timed_device_solve(wprec)
+                        stats.put("Neural+TPU", dtw, prec_t, w_it, msize)
 
                         # +multi_rhs=K: batched K-column solve of the SAME
                         # operator (pcg_gsel_multi) — the planes stream once
@@ -333,6 +344,88 @@ def main(argv=None):
                                 prec_t, float(np.max(np.asarray(mres.iters))),
                                 msize,
                             )
+
+                    # classical AINV/FSAI device rows: both factors apply as
+                    # two SpMVs (Z diag(1/p) Z^T / G^T G), so they ride the
+                    # same gsel kernels + precision tier as the neural SPAI —
+                    # the TPU analog of the reference's CUDA columns for
+                    # these methods (infer.py:310-321, validate.py:54-86).
+                    # IC stays host-only by design: its apply is two
+                    # triangular solves, the sequential anti-pattern the
+                    # SPAI method exists to avoid (the reference's own CUDA
+                    # IC row is slower than its CPU one —
+                    # misc/tab_to_latex_benchmark.py:8-9).
+                    if ga_f is not None:
+                        import scipy.sparse as _sp
+
+                        for method in ("ainv", "fsai"):
+                            if method not in check_methods:
+                                continue
+                            try:
+                                t0 = time.perf_counter()
+                                if method == "ainv":
+                                    from ..native import ainv as _ainv
+
+                                    z, pdiag = _ainv(a_csr)
+                                    fwd_fac = _sp.csr_matrix(z)[wperm][
+                                        :, wperm
+                                    ].tocsr()
+                                    inv_pd = jnp.asarray(
+                                        (1.0 / pdiag)[wperm], jnp.float32
+                                    )
+                                else:
+                                    from ..native import fsai as _fsai
+
+                                    g_fac = _sp.csr_matrix(_fsai(a_csr))[
+                                        wperm
+                                    ][:, wperm].tocsr()
+                                    # M^-1 = G^T G: l_fwd = G^T, l_t = G
+                                    fwd_fac = _sp.csr_matrix(g_fac.T).tocsr()
+                                    inv_pd = None
+                                if not np.all(np.isfinite(fwd_fac.data)) or (
+                                    inv_pd is not None
+                                    and not bool(
+                                        np.all(np.isfinite(np.asarray(inv_pd)))
+                                    )
+                                ):
+                                    # e.g. AINV breaks down on the synthetic
+                                    # family (PARITY.md: >5000 iters / nan)
+                                    log.warning(
+                                        f"{method} factor non-finite; "
+                                        "skipping TPU row"
+                                    )
+                                    continue
+                                fwd_fac.sort_indices()
+                                t_fac = _sp.csr_matrix(fwd_fac.T).tocsr()
+                                t_fac.sort_indices()
+                                gm_f = build_gsel_csr(fwd_fac, double_single=ds)
+                                gm_t = build_gsel_csr(t_fac, double_single=ds)
+                                fact_t = time.perf_counter() - t0
+                                if gm_f is None or gm_t is None:
+                                    log.warning(
+                                        f"{method} factor unbandable for the "
+                                        "gsel device path; skipping TPU row"
+                                    )
+                                    continue
+                                if ds:
+                                    from ..solver import GselSpaiPrecDS
+
+                                    mpre = GselSpaiPrecDS(
+                                        gm_f, gm_t, jnp.float64(0.0),
+                                        inv_diag=inv_pd,
+                                    )
+                                else:
+                                    mpre = GselSpaiPrec(
+                                        gm_f, gm_t, jnp.float32(0.0),
+                                        inv_diag=inv_pd,
+                                    )
+                                dt_m, it_m = _timed_device_solve(mpre)
+                                stats.put(
+                                    f"PCG-{method}-tpu", dt_m, fact_t, it_m,
+                                    msize,
+                                )
+                            except Exception as e:  # noqa: BLE001
+                                log.error(f"{method} device row failed: {e}")
 
                     # fully on-device path: slot-layout GNN
                     # construction (gnn/slotted_block.py; b=1 is the
