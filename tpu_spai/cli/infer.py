@@ -168,23 +168,11 @@ def main(argv=None):
                     stats.put(f"PCG-{method}-cpu", s, p, it, msize)
                 except Exception as e:  # noqa: BLE001
                     log.error(f"{method} failed: {e}")
-            # device unpreconditioned + jacobi (the SpMV-only methods)
-            ga = csr_to_graph(a_csr)
-            b_dev = jnp.asarray(a_csr @ r)
-            for method in ("none", "diagonal"):
-                if method not in check_methods:
-                    continue
-                from ..solver import jacobi_prec
-
-                pr = None if method == "none" else jacobi_prec(ga)
-                res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-                res.x.block_until_ready()
-                t0 = time.perf_counter()
-                for _ in range(repeat):
-                    res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-                    res.x.block_until_ready()
-                dt = (time.perf_counter() - t0) / repeat
-                stats.put(f"PCG-{method}-tpu", dt, 0.0, float(res.iters), msize)
+            # device unpreconditioned + jacobi rows are filled from the gsel
+            # section below (same kernels + precision tier as every other
+            # device row); the first-generation graph-form path remains as
+            # the fallback when the gsel build declines the pattern.
+            _dev_simple_done: set = set()
 
             # neural SPAI: host + device
             it, _, sol = get_pcg_iter_time(
@@ -355,6 +343,28 @@ def main(argv=None):
                     # SPAI method exists to avoid (the reference's own CUDA
                     # IC row is slower than its CPU one —
                     # misc/tab_to_latex_benchmark.py:8-9).
+                    # unpreconditioned + jacobi device rows on the same gsel
+                    # kernels/tier (the old graph-form XLA path was ~20-50x
+                    # slower per iteration; it remains the fallback below)
+                    if ga_f is not None:
+                        from ..solver import jacobi_prec
+
+                        for method in ("none", "diagonal"):
+                            if method not in check_methods:
+                                continue
+                            pr = (
+                                None
+                                if method == "none"
+                                else jacobi_prec(
+                                    jnp.asarray(a_p.diagonal(), jnp.float32)
+                                )
+                            )
+                            dt_s, it_s = _timed_device_solve(pr)
+                            stats.put(
+                                f"PCG-{method}-tpu", dt_s, 0.0, it_s, msize
+                            )
+                            _dev_simple_done.add(method)
+
                     if ga_f is not None:
                         import scipy.sparse as _sp
 
@@ -632,6 +642,26 @@ def main(argv=None):
                             )
                 except Exception as e:  # noqa: BLE001
                     log.warning(f"gsel solve skipped: {e}")
+
+            # fallback: graph-form XLA device solve for the SpMV-only
+            # methods when the gsel section didn't fill them (unbandable
+            # pattern or use_windowed=false)
+            for method in ("none", "diagonal"):
+                if method not in check_methods or method in _dev_simple_done:
+                    continue
+                from ..solver import jacobi_prec
+
+                ga = csr_to_graph(a_csr)
+                b_dev = jnp.asarray(a_csr @ r)
+                pr = None if method == "none" else jacobi_prec(ga)
+                res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
+                res.x.block_until_ready()
+                t0 = time.perf_counter()
+                for _ in range(repeat):
+                    res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
+                    res.x.block_until_ready()
+                dt = (time.perf_counter() - t0) / repeat
+                stats.put(f"PCG-{method}-tpu", dt, 0.0, float(res.iters), msize)
 
             if enable_cholmod:
                 t0 = time.perf_counter()

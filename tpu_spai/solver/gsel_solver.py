@@ -613,6 +613,10 @@ def _rr_run(g_a, prec, b64, rtol_s, max_it, impl, k_rep):
     def papply(r):
         if prec is None:
             return r
+        if not hasattr(prec, "l_t"):
+            # generic pytree preconditioner (e.g. jacobi): f32 apply on the
+            # hi component; re-anchoring keeps the stopping honest
+            return DS(prec(r.hi).astype(jnp.float32), jnp.zeros_like(r.hi))
         lt = mv_fast(prec.l_t, r)
         eps32 = jnp.float32(prec.epsilon)
         if prec.inv_diag is not None:
