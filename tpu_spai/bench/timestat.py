@@ -1,80 +1,85 @@
-"""Benchmark aggregation + CSV export (~ infer.py:30-151 Timestat).
+"""Benchmark row collection + CSV export.
 
-Reproduces the reference's CSV schemas exactly so its misc/ plotting and
-LaTeX-table scripts work unchanged:
+The two CSV schemas are a compatibility contract with the reference's
+plotting/LaTeX scripts (they consume these exact column names,
+/root/reference/misc/plot_scalability.py, misc/tab_to_latex*.py):
   * aggregate: `Key, Total Time (ms), Solve Time (ms), Precond Time (ms),
     #Iteration`
   * per-sample: `Key, Solve Time (ms), Precond Time (ms), #Iteration,
     Matrix Size`
+
+Internally this is a flat append-only row log (one record per measured
+solve) aggregated at export time — rows arrive interleaved across methods
+and samples, so there is no per-method mutable state to keep in sync.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List
+from typing import List, NamedTuple
 
-import numpy as np
 import pandas as pd
 
 
-@dataclasses.dataclass
-class InferenceTimestat:
-    all_solve_time: List[float]
-    all_prec_time: List[float]
-    all_iteration: List[float]
-    all_matrix_size: List[int]
+class SolveRecord(NamedTuple):
+    """One measured solve: times in seconds, size = matrix rows."""
+
+    label: str
+    solve_s: float
+    factor_s: float
+    iters: float
+    n_rows: int
 
 
 class Timestat:
-    def __init__(self):
-        self.stat_dict: Dict[str, InferenceTimestat] = {}
+    """Append-only log of `SolveRecord`s with the reference CSV exports."""
+
+    def __init__(self) -> None:
+        self.rows: List[SolveRecord] = []
 
     def put(self, key: str, solve_time: float, prec_time: float,
-            iteration: float, matrix_size: int):
-        st = self.stat_dict.setdefault(key, InferenceTimestat([], [], [], []))
-        st.all_solve_time.append(solve_time)
-        st.all_prec_time.append(prec_time)
-        st.all_iteration.append(iteration)
-        st.all_matrix_size.append(matrix_size)
+            iteration: float, matrix_size: int) -> None:
+        self.rows.append(
+            SolveRecord(key, float(solve_time), float(prec_time),
+                        float(iteration), int(matrix_size))
+        )
 
-    def print(self, log=print):
-        for key, stat in self.stat_dict.items():
-            s = np.mean(stat.all_solve_time) * 1000
-            p = np.mean(stat.all_prec_time) * 1000
-            i = np.mean(stat.all_iteration)
-            log(f"{key:>18}: total {s + p:8.2f} ms  solve {s:8.2f} ms  "
-                f"prec {p:7.2f} ms  {i:8.1f} iters")
+    def _grouped(self) -> "pd.core.groupby.DataFrameGroupBy":
+        df = pd.DataFrame(self.rows)
+        # sort=False keeps first-appearance order, like the reference table
+        return df.groupby("label", sort=False)
+
+    def print(self, log=print) -> None:
+        if not self.rows:
+            return
+        for label, grp in self._grouped():
+            s = grp["solve_s"].mean() * 1000
+            f = grp["factor_s"].mean() * 1000
+            it = grp["iters"].mean()
+            log(f"{label:>18}: total {s + f:8.2f} ms  solve {s:8.2f} ms  "
+                f"prec {f:7.2f} ms  {it:8.1f} iters")
 
     def timestat_to_dataframe(self) -> pd.DataFrame:
-        data = []
-        for key, stat in self.stat_dict.items():
-            s = np.mean(stat.all_solve_time) * 1000
-            p = np.mean(stat.all_prec_time) * 1000
-            data.append({
-                "Key": key,
-                "Total Time (ms)": s + p,
-                "Solve Time (ms)": s,
-                "Precond Time (ms)": p,
-                "#Iteration": np.mean(stat.all_iteration),
+        """Aggregate CSV: per-label means, ms."""
+        out = []
+        for label, grp in self._grouped():
+            s = grp["solve_s"].mean() * 1000
+            f = grp["factor_s"].mean() * 1000
+            out.append({
+                "Key": label,
+                "Total Time (ms)": round(s + f, 4),
+                "Solve Time (ms)": round(s, 4),
+                "Precond Time (ms)": round(f, 4),
+                "#Iteration": round(grp["iters"].mean(), 4),
             })
-        df = pd.DataFrame(data)
-        num = ["Total Time (ms)", "Solve Time (ms)", "Precond Time (ms)", "#Iteration"]
-        df[num] = df[num].round(4)
-        return df
+        return pd.DataFrame(out)
 
     def all_time_stat(self) -> pd.DataFrame:
-        data = []
-        for key, stat in self.stat_dict.items():
-            for s, p, i, m in zip(stat.all_solve_time, stat.all_prec_time,
-                                  stat.all_iteration, stat.all_matrix_size):
-                data.append({
-                    "Key": key,
-                    "Solve Time (ms)": s * 1000,
-                    "Precond Time (ms)": p * 1000,
-                    "#Iteration": i,
-                    "Matrix Size": m,
-                })
-        df = pd.DataFrame(data)
-        num = ["Solve Time (ms)", "Precond Time (ms)", "#Iteration", "Matrix Size"]
-        df[num] = df[num].round(4)
-        return df
+        """Per-sample CSV: one row per record, ms + matrix size."""
+        out = [{
+            "Key": r.label,
+            "Solve Time (ms)": round(r.solve_s * 1000, 4),
+            "Precond Time (ms)": round(r.factor_s * 1000, 4),
+            "#Iteration": round(r.iters, 4),
+            "Matrix Size": r.n_rows,
+        } for r in self.rows]
+        return pd.DataFrame(out)

@@ -158,14 +158,20 @@ def main(argv=None):
 
             r = build_rhs(rhs_kind, np.asarray(batch.mask)[:n_valid], a_ones, rng)
 
-            # classical baselines: host fp64 + device
+            # classical baselines: host fp64 + device. The CPU rows leave
+            # their raw factors in `fcache` so the device AINV/FSAI rows
+            # below reuse them instead of refactorizing (the factorization
+            # is timed once here — `cpu_prec_t` carries it to fact_t).
+            fcache: dict = {}
+            cpu_prec_t: dict = {}
             for method in check_methods:
                 try:
                     it, p, s = get_cg_iter_time(
                         a_csr, r, rtol=rtol, repeat=repeat, method=method,
-                        raise_on_fail=False,
+                        raise_on_fail=False, factor_out=fcache,
                     )
                     stats.put(f"PCG-{method}-cpu", s, p, it, msize)
+                    cpu_prec_t[method] = p
                 except Exception as e:  # noqa: BLE001
                     log.error(f"{method} failed: {e}")
             # device unpreconditioned + jacobi rows are filled from the gsel
@@ -352,18 +358,29 @@ def main(argv=None):
                         for method in ("none", "diagonal"):
                             if method not in check_methods:
                                 continue
-                            pr = (
-                                None
-                                if method == "none"
-                                else jacobi_prec(
-                                    jnp.asarray(a_p.diagonal(), jnp.float32)
+                            # per-method try/except: one failed row must not
+                            # skip the rest of the gsel section (matches the
+                            # ainv/fsai loop below)
+                            try:
+                                pr = (
+                                    None
+                                    if method == "none"
+                                    else jacobi_prec(
+                                        jnp.asarray(
+                                            a_p.diagonal(), jnp.float32
+                                        )
+                                    )
                                 )
-                            )
-                            dt_s, it_s = _timed_device_solve(pr)
-                            stats.put(
-                                f"PCG-{method}-tpu", dt_s, 0.0, it_s, msize
-                            )
-                            _dev_simple_done.add(method)
+                                dt_s, it_s = _timed_device_solve(pr)
+                                stats.put(
+                                    f"PCG-{method}-tpu", dt_s, 0.0, it_s,
+                                    msize,
+                                )
+                                _dev_simple_done.add(method)
+                            except Exception as e:  # noqa: BLE001
+                                log.error(
+                                    f"{method} device row failed: {e}"
+                                )
 
                     if ga_f is not None:
                         import scipy.sparse as _sp
@@ -374,9 +391,12 @@ def main(argv=None):
                             try:
                                 t0 = time.perf_counter()
                                 if method == "ainv":
-                                    from ..native import ainv as _ainv
+                                    if "ainv" in fcache:
+                                        z, pdiag = fcache["ainv"]
+                                    else:
+                                        from ..native import ainv as _ainv
 
-                                    z, pdiag = _ainv(a_csr)
+                                        z, pdiag = _ainv(a_csr)
                                     fwd_fac = _sp.csr_matrix(z)[wperm][
                                         :, wperm
                                     ].tocsr()
@@ -384,11 +404,15 @@ def main(argv=None):
                                         (1.0 / pdiag)[wperm], jnp.float32
                                     )
                                 else:
-                                    from ..native import fsai as _fsai
+                                    if "fsai" in fcache:
+                                        g_raw = fcache["fsai"]
+                                    else:
+                                        from ..native import fsai as _fsai
 
-                                    g_fac = _sp.csr_matrix(_fsai(a_csr))[
-                                        wperm
-                                    ][:, wperm].tocsr()
+                                        g_raw = _fsai(a_csr)
+                                    g_fac = _sp.csr_matrix(g_raw)[wperm][
+                                        :, wperm
+                                    ].tocsr()
                                     # M^-1 = G^T G: l_fwd = G^T, l_t = G
                                     fwd_fac = _sp.csr_matrix(g_fac.T).tocsr()
                                     inv_pd = None
@@ -410,7 +434,13 @@ def main(argv=None):
                                 t_fac.sort_indices()
                                 gm_f = build_gsel_csr(fwd_fac, double_single=ds)
                                 gm_t = build_gsel_csr(t_fac, double_single=ds)
-                                fact_t = time.perf_counter() - t0
+                                # factorization cost: the CPU row already
+                                # timed it when its factor was reused here
+                                fact_t = time.perf_counter() - t0 + (
+                                    cpu_prec_t.get(method, 0.0)
+                                    if method in fcache
+                                    else 0.0
+                                )
                                 if gm_f is None or gm_t is None:
                                     log.warning(
                                         f"{method} factor unbandable for the "

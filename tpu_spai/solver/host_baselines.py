@@ -53,8 +53,13 @@ def make_preconditioner_op(
     spai: Optional[sp.csr_matrix] = None,
     epsilon: float = 0.0,
     ainv_droptol: float = 0.1,
+    factor_out: Optional[dict] = None,
 ) -> Tuple[Optional[spla.LinearOperator], float]:
-    """Build M^{-1} LinearOperator; returns (op, factorization seconds)."""
+    """Build M^{-1} LinearOperator; returns (op, factorization seconds).
+
+    When ``factor_out`` is a dict, the raw factors are recorded under the
+    method name — ``ic``: L, ``ainv``: (Z, p), ``fsai``: G — so callers
+    (cli/infer.py device rows) can reuse them without refactorizing."""
     n = a.shape[0]
     t0 = time.perf_counter()
     method = method.lower()
@@ -67,6 +72,8 @@ def make_preconditioner_op(
         from ..native import ic0
 
         lfac = ic0(a)
+        if factor_out is not None:
+            factor_out["ic"] = lfac
         lo = sp.csr_matrix(lfac)
         up = sp.csr_matrix(lfac.T)
 
@@ -79,6 +86,8 @@ def make_preconditioner_op(
         from ..native import ainv
 
         z, p = ainv(a, droptol=ainv_droptol)
+        if factor_out is not None:
+            factor_out["ainv"] = (z, p)
         zt = sp.csr_matrix(z.T)
         pinv = 1.0 / p
         op = _as_op(n, lambda x: z @ (pinv * (zt @ x)))
@@ -86,6 +95,8 @@ def make_preconditioner_op(
         from ..native import fsai
 
         g = fsai(a)
+        if factor_out is not None:
+            factor_out["fsai"] = g
         gt = sp.csr_matrix(g.T)
         op = _as_op(n, lambda x: gt @ (g @ x))
     elif method == "ext_spai":
@@ -121,6 +132,7 @@ def get_cg_iter_time(
     repeat: int = 1,
     method: str = "none",
     raise_on_fail: bool = True,
+    factor_out: Optional[dict] = None,
 ) -> Tuple[float, float, float]:
     """CG with classical preconditioner; b = A@gt (validate.py:54-86).
     Returns (avg iters, avg factorization s, avg solve s)."""
@@ -130,7 +142,7 @@ def get_cg_iter_time(
     b = (a @ gt).astype(np.float64)
     iters = prec_t = solve_t = 0.0
     for _ in range(repeat):
-        op, tp = make_preconditioner_op(a, method)
+        op, tp = make_preconditioner_op(a, method, factor_out=factor_out)
         _, it, ts = _run_cg(a, b, op, rtol, max_iter)
         if it >= max_iter and raise_on_fail:
             raise RuntimeError(f"CG({method}) did not converge in {max_iter}")
