@@ -17,6 +17,12 @@ the row-partitioned solver IS the model-parallel axis of this workload.
 from .partition import PartitionedSystem, partition_system
 from .cg import dist_pcg, dist_spmv_reference
 from .gsel_dist import PartitionedGsel, dist_pcg_gsel, partition_gsel
+from .gnn import (
+    PartitionedGnnGraph,
+    dist_gnn_factor,
+    dist_neural_pcg,
+    partition_gnn_inference,
+)
 
 __all__ = [
     "PartitionedSystem",
@@ -26,4 +32,8 @@ __all__ = [
     "PartitionedGsel",
     "partition_gsel",
     "dist_pcg_gsel",
+    "PartitionedGnnGraph",
+    "partition_gnn_inference",
+    "dist_gnn_factor",
+    "dist_neural_pcg",
 ]

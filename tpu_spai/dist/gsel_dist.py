@@ -94,7 +94,23 @@ def partition_gsel(
     a = sp.csr_matrix(a, dtype=np.float64)
     n = a.shape[0]
     perm = rcm_permutation(a) if reorder else np.arange(n)
-    ap = a[perm][:, perm].tocoo()
+    return partition_gsel_permuted(
+        a[perm][:, perm].tocsr(), n_shards, halo=halo, group=group
+    ), perm
+
+
+def partition_gsel_permuted(
+    ap: sp.spmatrix,
+    n_shards: int,
+    halo: Optional[int] = None,
+    group: int = 16,
+) -> PartitionedGsel:
+    """`partition_gsel` core on an ALREADY-ordered matrix (no reordering).
+
+    Shared by dist/gnn.py, which must build several operators (A, the
+    factor slot maps) over one common ordering/chunk/halo geometry."""
+    ap = sp.csr_matrix(ap, dtype=np.float64).tocoo()
+    n = ap.shape[0]
     bandwidth = int(np.max(np.abs(ap.row - ap.col))) if ap.nnz else 0
     # chunk and halo rounded to whole 128-lane chunks: the extended and
     # local vector frames then share chunk boundaries, which lets interior
@@ -174,23 +190,20 @@ def partition_gsel(
     if s0 >= s1:
         s0 = s1 = 0
 
-    return (
-        PartitionedGsel(
-            onehot=jnp.asarray(np.stack([x[0] for x in padded])),
-            lidx=jnp.asarray(np.stack([x[1] for x in padded])),
-            vals=jnp.asarray(np.stack([x[2] for x in padded])),
-            group_base=jnp.asarray(np.stack([x[3] for x in padded])),
-            n_shards=n_shards,
-            chunk=chunk,
-            halo=halo,
-            tile=t,
-            group=grp,
-            q_chunks=qg,
-            k_width=kp,
-            s_int0=s0,
-            s_int1=s1,
-        ),
-        perm,
+    return PartitionedGsel(
+        onehot=jnp.asarray(np.stack([x[0] for x in padded])),
+        lidx=jnp.asarray(np.stack([x[1] for x in padded])),
+        vals=jnp.asarray(np.stack([x[2] for x in padded])),
+        group_base=jnp.asarray(np.stack([x[3] for x in padded])),
+        n_shards=n_shards,
+        chunk=chunk,
+        halo=halo,
+        tile=t,
+        group=grp,
+        q_chunks=qg,
+        k_width=kp,
+        s_int0=s0,
+        s_int1=s1,
     )
 
 
