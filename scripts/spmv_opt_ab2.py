@@ -38,6 +38,8 @@ def measure_chain(fn, r1, r2, reps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="48")
+    ap.add_argument("--groups", default="8,16,32")
+    ap.add_argument("--no-ablate", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -124,7 +126,7 @@ def main():
         y_np = a_s @ np.asarray(x0, np.float64)
 
         cases = {}
-        for grp in (8, 16, 32):
+        for grp in [int(x) for x in args.groups.split(",")]:
             for w in (1, 2):
                 try:
                     g = build_gsel(a_s, group=grp, window=w)
@@ -134,10 +136,11 @@ def main():
                     cases[f"G{grp}w{w}"] = (g, b_in + b_out, None)
                 except Exception as e:  # noqa: BLE001
                     print(f"G{grp}w{w}: build failed: {str(e)[:100]}")
-        gbase = cases.get("G16w1", next(iter(cases.values())))[0]
-        bb = plane_bytes(gbase)
-        for ab in ("nomatmul", "nogather", "noreduce"):
-            cases[f"abl_{ab}"] = (gbase, bb[0] + bb[1], ab)
+        if not args.no_ablate:
+            gbase = cases.get("G16w1", next(iter(cases.values())))[0]
+            bb = plane_bytes(gbase)
+            for ab in ("nomatmul", "nogather", "noreduce"):
+                cases[f"abl_{ab}"] = (gbase, bb[0] + bb[1], ab)
 
         fns, rows = {}, {}
         for name, (g, byt, ab) in cases.items():

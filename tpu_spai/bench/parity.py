@@ -24,8 +24,12 @@ from pathlib import Path
 import numpy as np
 
 
+EPS_SWEEP = (1e-5, 1e-4, 3e-4, 1e-3, 1e-2, 3e-2)
+
+
 def run_family(name, gen_fn, data_kwargs, train_overrides, epochs, workdir,
-               multi_prefixes=None):
+               multi_prefixes=None, eps_sweep=EPS_SWEEP,
+               weight_init="lecun"):
     import jax
 
     from ..config import load_config
@@ -46,6 +50,7 @@ def run_family(name, gen_fn, data_kwargs, train_overrides, epochs, workdir,
         f"checkpoint.every_n_epochs={10*epochs}",
         "check_methods=[none,diagonal,ic,ainv,fsai]",
         f"output_dir={workdir}/out_{name}",
+        f"gnn.weight_init={weight_init}",
     ] + train_overrides
     cfg = load_config("configs", "basic", overrides)
     if multi_prefixes:
@@ -67,6 +72,7 @@ def run_family(name, gen_fn, data_kwargs, train_overrides, epochs, workdir,
             ws, params, batch,
             ["none", "diagonal", "ic", "ainv", "fsai"],
             epsilon=float(cfg.epsilon), max_iter=5000,
+            eps_sweep=eps_sweep,
         )
         rows.append(stats)
     mean = {
@@ -84,6 +90,10 @@ def main(argv=None):
     ap.add_argument("--workdir", default="/tmp/parity")
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("--families", default="", help="comma list to run (default all)")
+    ap.add_argument(
+        "--weight-init", default="lecun", choices=("lecun", "torch"),
+        help="'torch' = reference Linear reset parity (gnn/layers.py)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -101,6 +111,11 @@ def main(argv=None):
     e = args.epochs
     results = {}
     only = {f for f in args.families.split(",") if f}
+
+    from functools import partial
+
+    global run_family
+    run_family = partial(run_family, weight_init=args.weight_init)
 
     def want(name):
         return not only or name in only
@@ -121,7 +136,7 @@ def main(argv=None):
          "data.use_edge_features_as_node_feature=mean",
          "gnn_features=48", "gnn.num_mp_layers=6",
          "scheduler.params.gamma=0.9995"],
-        max(e, 8 * e), wd,
+        min(2600, max(e, 8 * e)), wd,
     )
 
     if want("poisson2d"):
@@ -222,17 +237,24 @@ def main(argv=None):
         "CG iterations to rtol=1e-6 with rhs = mask vector, fp64 host oracle.",
         "`tpu_neural` is the device PCG with the same factor (parity check).",
         "",
-        "| family | none | diag | IC0 | AINV | FSAI | neural | neural(dev) |",
-        "|---|---|---|---|---|---|---|---|",
+        "| family | none | diag | IC0 | AINV | FSAI | neural | neural(dev) | neural ε* | ε* |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for fam, s in results.items():
         def g(key):
             v = s.get(f"Val/{key}", float("nan"))
             return f"{v:.0f}"
+        # best eval-time epsilon over the sweep (incl. the train epsilon)
+        cands = {"train": s.get("Val/cpu_neural_iter", float("nan"))}
+        for k, v in s.items():
+            if "_eps" in k:
+                cands[k.split("_eps")[-1]] = v
+        best_eps = min(cands, key=lambda k: cands[k])
         lines.append(
             f"| {fam} | {g('cpu_none_iter')} | {g('cpu_diagonal_iter')} | "
             f"{g('cpu_ic_iter')} | {g('cpu_ainv_iter')} | {g('cpu_fsai_iter')} | "
-            f"{g('cpu_neural_iter')} | {g('tpu_neural_iter')} |"
+            f"{g('cpu_neural_iter')} | {g('tpu_neural_iter')} | "
+            f"{cands[best_eps]:.0f} | {best_eps} |"
         )
     out = Path(args.out)
     out.write_text("\n".join(lines) + "\n")

@@ -66,6 +66,12 @@ class FeedForward(nn.Module):
 
     ``num_layers`` counts the lift + hidden stages (the projection adds one
     more linear), matching the reference layer count.
+
+    ``weight_init``: 'lecun' (flax default) or 'torch' — the reference's
+    torch Linear reset (utils/weight_init.py:2-4 walks reset_parameters):
+    kaiming-uniform(a=√5) on W and U(±1/√fan_in) on b, i.e. BOTH drawn
+    U(±1/√fan_in). Flax's lecun-normal + zero bias was a documented
+    round-1 divergence (PARITY_MAP §2.3); 'torch' closes it.
     """
 
     out_channels: int
@@ -74,16 +80,29 @@ class FeedForward(nn.Module):
     pre_norm: str = "none"
     activation: str = "gelu"
     out_activation: str = "none"
+    weight_init: str = "lecun"
+
+    def _dense(self, feats: int, x):
+        if self.weight_init == "torch":
+            bound = 1.0 / float(x.shape[-1]) ** 0.5
+
+            def init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(
+                    key, shape, dtype, minval=-bound, maxval=bound
+                )
+
+            return nn.Dense(feats, kernel_init=init, bias_init=init)(x)
+        return nn.Dense(feats)(x)
 
     @nn.compact
     def __call__(self, x):
         hidden = self.hidden_channels or self.out_channels
         act = get_activation(self.activation)
         x = _Norm(self.pre_norm)(x)
-        x = act(nn.Dense(hidden)(x))
+        x = act(self._dense(hidden, x))
         for _ in range(1, self.num_layers):
-            x = act(nn.Dense(hidden)(x))
-        x = nn.Dense(self.out_channels)(x)
+            x = act(self._dense(hidden, x))
+        x = self._dense(self.out_channels, x)
         return get_activation(self.out_activation)(x)
 
 
@@ -125,6 +144,10 @@ class MPLayer(nn.Module):
     msg_mlp: Optional[dict] = None
     aggr: str = "add"
     msg_norm: bool = False
+    weight_init: str = "lecun"
+
+    def _ff_kwargs(self, cfg: Optional[dict]) -> dict:
+        return {"weight_init": self.weight_init, **(cfg or {})}
 
     @nn.compact
     def __call__(self, node_attr, edge_index, edge_attr, edge_weight=None):
@@ -135,7 +158,8 @@ class MPLayer(nn.Module):
         feats = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
 
         msg = FeedForward(
-            out_channels=self.node_channels, **(self.msg_mlp or {}), name="msg_mlp"
+            out_channels=self.node_channels, **self._ff_kwargs(self.msg_mlp),
+            name="msg_mlp",
         )(feats)
         if edge_weight is not None:
             msg = msg * edge_weight[:, None]
@@ -155,12 +179,14 @@ class MPLayer(nn.Module):
             agg = MessageNorm(name="node_msg_norm")(node_attr, agg)
 
         node_new = FeedForward(
-            out_channels=self.node_channels, **(self.node_mlp or {}), name="node_mlp"
+            out_channels=self.node_channels, **self._ff_kwargs(self.node_mlp),
+            name="node_mlp",
         )(agg)
         node_out = node_attr + node_new if self.node_residual else node_new
 
         edge_new = FeedForward(
-            out_channels=self.edge_channels, **(self.edge_mlp or {}), name="edge_mlp"
+            out_channels=self.edge_channels, **self._ff_kwargs(self.edge_mlp),
+            name="edge_mlp",
         )(feats)
         edge_out = edge_attr + edge_new if self.edge_residual else edge_new
         return node_out, edge_out
@@ -191,22 +217,26 @@ class NodeEdgeProcessing(nn.Module):
     msg_mlp: Optional[dict] = None
     aggr: str = "add"
     msg_norm: bool = False
+    weight_init: str = "lecun"
     # Rematerialize each MP layer in the backward pass (jax.checkpoint):
     # activation memory drops from O(num_mp_layers * E * 3F) to one
     # layer's worth, at ~1/3 extra forward FLOPs — the TPU-idiomatic
     # memory/compute trade for large variable-topology batches.
     remat: bool = False
 
+    def _ff_kwargs(self, cfg: Optional[dict]) -> dict:
+        return {"weight_init": self.weight_init, **(cfg or {})}
+
     @nn.compact
     def __call__(self, node_attr, edge_index, edge_attr, edge_weight=None):
         x = FeedForward(
             out_channels=self.node_features,
-            **(self.node_encoder or {}),
+            **self._ff_kwargs(self.node_encoder),
             name="node_enc",
         )(node_attr)
         e = FeedForward(
             out_channels=self.edge_features,
-            **(self.edge_encoder or {}),
+            **self._ff_kwargs(self.edge_encoder),
             name="edge_enc",
         )(edge_attr)
 
@@ -222,6 +252,7 @@ class NodeEdgeProcessing(nn.Module):
                 msg_mlp=self.msg_mlp,
                 aggr=self.aggr,
                 msg_norm=self.msg_norm,
+                weight_init=self.weight_init,
                 name=f"mp_{i}",
             )(x, edge_index, e, edge_weight)
 
@@ -230,7 +261,7 @@ class NodeEdgeProcessing(nn.Module):
         )
         edge_out = FeedForward(
             out_channels=self.edge_out_features,
-            **(self.edge_decoder or {}),
+            **self._ff_kwargs(self.edge_decoder),
             name="edge_dec",
         )(edge_dec_in)
 
@@ -239,7 +270,7 @@ class NodeEdgeProcessing(nn.Module):
         else:
             node_out = FeedForward(
                 out_channels=self.node_out_features,
-                **(self.node_decoder or {}),
+                **self._ff_kwargs(self.node_decoder),
                 name="node_dec",
             )(x)
         return node_out, edge_out

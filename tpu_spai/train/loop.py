@@ -97,6 +97,7 @@ def check_convergence(
     rtol: float = 1e-6,
     max_iter: int = 0,
     prefix: str = "Val",
+    eps_sweep: Sequence[float] = (),
 ) -> Dict[str, float]:
     """Convergence oracle on a (single-sample) batch — the de-facto
     correctness metric of the whole project (workspace.py:114-170).
@@ -144,6 +145,14 @@ def check_convergence(
         )
         stats[f"{prefix}/cpu_neural_iter"] = it
         stats[f"{prefix}/cpu_neural_solve"] = ts
+        # eval-time epsilon sweep over the SAME factor (the reference
+        # sweeps override_epsilon at inference —
+        # misc/infer_all_precision_epsilon_override.sh)
+        for e in eps_sweep:
+            it_e, _, _ = get_pcg_iter_time(
+                a_csr, r, l_csr, e, rtol=rtol, max_iter=max_iter
+            )
+            stats[f"{prefix}/cpu_neural_iter_eps{e:g}"] = it_e
         # device-side PCG with the same factor
         ga = csr_to_graph(a_csr)
         gl = csr_to_graph(l_csr)
