@@ -1,0 +1,109 @@
+"""Recipe search for the families where neural trails FSAI (CPU).
+
+Sweeps training-recipe variants through bench/parity.run_family on the
+harness-scale families and prints a comparison table. The shared
+hypothesis: the reference's exp(0.99) LR decay starves 500-epoch runs
+(lr ~7e-6 by epoch 500); slower decay and/or more capacity closes the
+FSAI gap (the synthetic family already needed this — docs/PERF.md).
+
+Usage: python scripts/recipe_search.py [families=heat_tetmesh,elast_twist_bsr3]
+"""
+
+import json
+import os
+import sys
+
+import numpy as np  # noqa: F401
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    "base": [],
+    "g995": ["scheduler.params.gamma=0.995"],
+    "g995_w32": ["scheduler.params.gamma=0.995", "gnn_features=32"],
+    "g995_w32_mp6": [
+        "scheduler.params.gamma=0.995", "gnn_features=32",
+        "gnn.num_mp_layers=6",
+    ],
+}
+
+FAMILIES = {
+    "heat_tetmesh": dict(
+        gen=lambda wd: __import__(
+            "tpu_spai.datagen.heat", fromlist=["MultimeshHeatDatagen"]
+        ).MultimeshHeatDatagen(
+            prefix=f"{wd}/heat_mm", max_count=16, res_range=(5, 7), seed=5
+        ).generate(),
+        overrides=lambda wd: [
+            f"data.prefix={wd}/heat_mm", "data.is_fixed_topology=false",
+            "data.has_shared_features=false",
+        ],
+    ),
+    "elast_twist_bsr3": dict(
+        gen=lambda wd: __import__(
+            "tpu_spai.datagen.elasticity", fromlist=["TwistDatagen"]
+        ).TwistDatagen(
+            prefix=f"{wd}/twist", nx=2, resolution=3, max_count=10,
+            time_step=0.02,
+        ).generate(),
+        overrides=lambda wd: [
+            f"data.prefix={wd}/twist", "data.block_size=3",
+            "data.has_shared_features=true", "workspace=scaled",
+        ],
+    ),
+}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tpu_spai  # noqa: F401
+    from tpu_spai.bench.parity import run_family
+
+    kv = dict(a.split("=", 1) for a in sys.argv[1:])
+    fams = kv.get("families", "heat_tetmesh,elast_twist_bsr3").split(",")
+    epochs = int(kv.get("epochs", 500))
+    wd = kv.get("workdir", "/tmp/recipe_search")
+    os.makedirs(wd, exist_ok=True)
+
+    results = {}
+    for fam in fams:
+        spec = FAMILIES[fam]
+        gen_done = [False]
+
+        def gen_once():
+            if not gen_done[0]:
+                spec["gen"](wd)
+                gen_done[0] = True
+
+        for vname, vover in VARIANTS.items():
+            key = f"{fam}/{vname}"
+            try:
+                stats = run_family(
+                    f"{fam}_{vname}", gen_once, {},
+                    spec["overrides"](wd) + vover, epochs, wd,
+                    weight_init="torch",
+                )
+                best_eps = min(
+                    [stats.get("Val/cpu_neural_iter", 1e9)]
+                    + [v for k, v in stats.items() if "_eps" in k]
+                )
+                results[key] = {
+                    "neural": stats.get("Val/cpu_neural_iter"),
+                    "neural_best_eps": best_eps,
+                    "fsai": stats.get("Val/cpu_fsai_iter"),
+                    "ainv": stats.get("Val/cpu_ainv_iter"),
+                    "ic": stats.get("Val/cpu_ic_iter"),
+                }
+            except Exception as exc:  # noqa: BLE001
+                results[key] = {"error": str(exc)[:200]}
+            print(json.dumps({key: results[key]}), flush=True)
+
+    with open(os.path.join(wd, "recipe_results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

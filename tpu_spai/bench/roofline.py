@@ -1,0 +1,100 @@
+"""Isolated gsel-SpMV roofline measurement (shared by bench.py and
+scripts/spmv_roofline.py).
+
+Chained-differencing protocol (CLAUDE.md env rules): R SpMVs inside ONE
+jitted `lax.scan` (power iteration on the 1/||A||_inf-prescaled matrix so
+iterates stay bounded); per-SpMV seconds = (minT(R2)-minT(R1))/(R2-R1)
+with min-of-N at both endpoints. Replaces bench.py's former 0.8x-CG-
+iteration inference with a measured kernel time (VERDICT round-2 item 1).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+
+def build_heat(res: int):
+    """RCM-ordered FEM heat operator on the unit tet box (bench matrix)."""
+    import scipy.sparse as sp
+
+    from ..datagen.meshes import unit_box_tet
+    from ..dist.partition import rcm_permutation
+    from ..native import laplacian, lumped_mass
+
+    nodes, elems = unit_box_tet(res, res, res)
+    a = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(1e-2 * lumped_mass(nodes, elems))
+    )
+    a.sort_indices()
+    perm = rcm_permutation(a)
+    ap = a[perm][:, perm].tocsr()
+    ap.sort_indices()
+    return ap
+
+
+def plane_bytes(g) -> tuple:
+    """(bytes streamed in, bytes written out) per SpMV."""
+    b_in = g.onehot.size + g.lidx.size + g.vals.size * 4
+    b_out = g.n_steps * g.group * g.tile * 4
+    return b_in, b_out
+
+
+def measure_chain(fn, r1: int, r2: int, reps: int = 7) -> float:
+    """min-of-N differenced per-step seconds for a chained program."""
+    np.asarray(fn(r2))  # compile + warm both endpoints
+    np.asarray(fn(r1))
+    ts = {r1: [], r2: []}
+    for _ in range(reps):
+        for m in (r1, r2):
+            t0 = time.perf_counter()
+            np.asarray(fn(m))
+            ts[m].append(time.perf_counter() - t0)
+    return (min(ts[r2]) - min(ts[r1])) / (r2 - r1)
+
+
+def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
+                      reps: int = 7) -> Optional[dict]:
+    """Measured isolated-SpMV roofline entry for one heat size."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.gsel_pallas import gsel_spmv_pallas
+    from ..solver.gsel_solver import build_gsel_csr
+
+    a = build_heat(res)
+    n, nnz = a.shape[0], a.nnz
+    s = 1.0 / np.abs(a).sum(axis=1).max()
+    a_s = (a * s).tocsr()
+    g = build_gsel_csr(a_s)
+    if g is None:
+        return None
+    b_in, b_out = plane_bytes(g)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+
+    @partial(jax.jit, static_argnums=1)
+    def chain(x, r):
+        def body(xc, _):
+            return gsel_spmv_pallas(g, xc), None
+
+        y, _ = jax.lax.scan(body, x, None, length=r)
+        return y
+
+    r1, r2 = (100, 2100) if n < 50_000 else (50, 650)
+    t_spmv = measure_chain(lambda m: chain(x0, m), r1, r2, reps=reps)
+    bytes_total = b_in + b_out
+    gbps = bytes_total / t_spmv / 1e9
+    return {
+        "res": res,
+        "n": n,
+        "nnz": nnz,
+        "slots": int(g.slots),
+        "slot_inflation": round(g.slots / nnz, 3),
+        "streamed_mb_per_spmv": round(bytes_total / 1e6, 3),
+        "spmv_us": round(t_spmv * 1e6, 2),
+        "gbps": round(gbps, 1),
+        "roofline_frac": round(gbps / hbm_gbps, 4),
+    }

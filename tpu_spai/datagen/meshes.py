@@ -174,26 +174,71 @@ def winding_number(
     return out
 
 
+def tet_circumspheres(points: np.ndarray, tets: np.ndarray):
+    """(circumcenters [m,3], circumradii [m]) of tets; degenerate tets get
+    inf radius."""
+    p0 = points[tets[:, 0]]
+    d = np.stack(
+        [points[tets[:, k]] - p0 for k in (1, 2, 3)], axis=1
+    )  # [m, 3, 3]
+    rhs = 0.5 * np.einsum("mki,mki->mk", d, d)
+    det = np.linalg.det(d)
+    ok = np.abs(det) > 1e-300
+    cc = np.full((len(tets), 3), np.inf)
+    if ok.any():
+        cc[ok] = p0[ok] + np.linalg.solve(d[ok], rhs[ok][..., None])[..., 0]
+    r = np.linalg.norm(cc - p0, axis=1)
+    return cc, r
+
+
+def tet_radius_edge(points: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    """Radius-edge ratio per tet — the quality metric tetgen's ``q`` switch
+    bounds (the reference meshes with ``pq1.1/0Ya3e-4V``,
+    datagen_helper.py:113-137; q1.1 = ratio <= 1.1). Equilateral ~0.612."""
+    _, r = tet_circumspheres(points, tets)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    lmin = np.min(
+        np.stack(
+            [
+                np.linalg.norm(points[tets[:, a]] - points[tets[:, b]], axis=1)
+                for a, b in edges
+            ]
+        ),
+        axis=0,
+    )
+    return r / np.maximum(lmin, 1e-300)
+
+
 def tetrahedralize(
     verts: np.ndarray,
     faces: np.ndarray,
     spacing: Optional[float] = None,
     jitter: float = 0.25,
     seed: int = 0,
+    quality: Optional[float] = 1.6,
+    max_refine_rounds: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Tetrahedralize the volume bounded by a closed triangulated surface —
     the tetgen capability of the reference's pipeline
     (datagen_helper.py:113-137 `tetrahedralize`, preprocess/obj_to_npy.py)
     without the external wheel: jittered interior grid sampling, a scipy
-    (Qhull) Delaunay over surface + interior points, and a generalized-
-    winding-number centroid filter to carve the non-convex exterior away.
+    (Qhull) Delaunay over surface + interior points, a generalized-
+    winding-number centroid filter to carve the non-convex exterior away,
+    and Delaunay-refinement quality rounds.
+
+    ``quality`` is a radius-edge-ratio bound (tetgen's ``q``; the
+    reference uses q1.1): interior tets above the bound get their
+    circumcenter inserted (Shewchuk-style Delaunay refinement — a new
+    Delaunay point at distance R from the offending tet's vertices) and
+    the mesh re-triangulated, up to ``max_refine_rounds``. Circumcenters
+    falling outside the domain or within 0.45*spacing of the surface are
+    skipped (boundary splits are not performed, so a thin near-surface
+    layer may keep ratios above the bound — reported honestly by
+    `tet_radius_edge`); ``quality=None`` disables refinement.
 
     `spacing` (default: median surface edge length) sets the interior
     resolution. Returns (verts [n,3] f64, tets [m,4] int32), positively
-    oriented, vertices compacted to those actually used. Quality is below
-    tetgen's (no boundary refinement / sliver removal), which is
-    acceptable for dataset generation — FEM assembly only needs positive
-    volumes."""
+    oriented, vertices compacted to those actually used."""
     from scipy.spatial import Delaunay, cKDTree
 
     verts = np.asarray(verts, np.float64)
@@ -212,24 +257,65 @@ def tetrahedralize(
     pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
     pts = pts + rng.uniform(-jitter, jitter, pts.shape) * spacing
     # keep samples well inside: winding >= 1/2 and clear of the surface
-    d, _ = cKDTree(verts).query(pts, k=1)
+    surf_tree = cKDTree(verts)
+    d, _ = surf_tree.query(pts, k=1)
     pts = pts[d > 0.45 * spacing]
     pts = pts[winding_number(pts, verts, faces) > 0.5]
 
+    def triangulate(allp):
+        dela = Delaunay(allp)
+        tets = dela.simplices.astype(np.int64)
+        cent = allp[tets].mean(axis=1)
+        tets = tets[winding_number(cent, verts, faces) > 0.5]
+        # drop degenerate (measure-zero) tets
+        d10 = allp[tets[:, 1]] - allp[tets[:, 0]]
+        d20 = allp[tets[:, 2]] - allp[tets[:, 0]]
+        d30 = allp[tets[:, 3]] - allp[tets[:, 0]]
+        vol6 = np.einsum("mi,mi->m", np.cross(d10, d20), d30)
+        keep = np.abs(vol6) > 1e-10 * spacing**3
+        tets, vol6 = tets[keep], vol6[keep]
+        flip = vol6 < 0
+        tets[flip] = tets[flip][:, [0, 1, 3, 2]]
+        return tets
+
     allp = np.concatenate([verts, pts])
-    dela = Delaunay(allp)
-    tets = dela.simplices.astype(np.int64)
-    cent = allp[tets].mean(axis=1)
-    tets = tets[winding_number(cent, verts, faces) > 0.5]
-    # drop degenerate (measure-zero) tets and orient positively
-    d10 = allp[tets[:, 1]] - allp[tets[:, 0]]
-    d20 = allp[tets[:, 2]] - allp[tets[:, 0]]
-    d30 = allp[tets[:, 3]] - allp[tets[:, 0]]
-    vol6 = np.einsum("mi,mi->m", np.cross(d10, d20), d30)
-    keep = np.abs(vol6) > 1e-10 * spacing**3
-    tets, vol6 = tets[keep], vol6[keep]
-    flip = vol6 < 0
-    tets[flip] = tets[flip][:, [0, 1, 3, 2]]
+    tets = triangulate(allp)
+
+    if quality is not None:
+        for _ in range(max_refine_rounds):
+            ratio = tet_radius_edge(allp, tets)
+            bad = np.flatnonzero(np.isfinite(ratio) & (ratio > quality))
+            if len(bad) == 0:
+                break
+            cc, _ = tet_circumspheres(allp, tets[bad])
+            ok = np.isfinite(cc).all(axis=1)
+            cc = cc[ok]
+            if len(cc) == 0:
+                break
+            # skip centers outside / hugging the surface (no boundary
+            # splitting) and dedupe mutually-close insertions
+            dsurf, _ = surf_tree.query(cc, k=1)
+            cc = cc[dsurf > 0.45 * spacing]
+            if len(cc):
+                cc = cc[winding_number(cc, verts, faces) > 0.5]
+            if len(cc) == 0:
+                break
+            keep_idx = []
+            ins_tree = cKDTree(cc)
+            taken = np.zeros(len(cc), bool)
+            for i in range(len(cc)):
+                if taken[i]:
+                    continue
+                keep_idx.append(i)
+                taken[ins_tree.query_ball_point(cc[i], 0.35 * spacing)] = True
+            cc = cc[keep_idx]
+            dold, _ = cKDTree(allp).query(cc, k=1)
+            cc = cc[dold > 0.2 * spacing]
+            if len(cc) == 0:
+                break
+            allp = np.concatenate([allp, cc])
+            tets = triangulate(allp)
+
     # compact to used vertices
     used, inv = np.unique(tets.ravel(), return_inverse=True)
     return allp[used], inv.reshape(tets.shape).astype(np.int32)

@@ -41,14 +41,22 @@ from .cg import CGResult
 # (measured), so keep inputs <= 2.5 MB.
 _VMEM_STEP_BYTES = int(2.5 * 2**20)
 
-# Group-size cost model, fitted to v5e sweeps (docs/PERF.md round-1g):
-# t(G) ~= SELECT_PS * slots * Qg(G) + STEP_US * steps(G). The one-hot
-# chunk-select work grows with the group's shared window Qg; the per-
-# grid-step overhead shrinks with fewer steps. K' (and hence `slots`) is
-# group-independent, so the argmin is matrix-specific: small G for
-# wide-bandwidth patterns, larger G for narrow ones.
-_SELECT_PS_PER_SLOT_Q = 0.68e-6  # us per slot per window chunk
-_STEP_US = 0.33  # us per grid step
+# Group/window cost model, refitted to the round-2 v5e in-process sweep
+# (docs/PERF.md round-2a; 16 points across res 24/48 x G 8-64 x w 1-2,
+# mean error ~8%):
+#   t [us] ~= STEP*steps + MAC*(Mslots*w*Qg) + BYTE*MB + RAMP*MB/steps
+# STEP: per-grid-step pipeline overhead (the dominant term at G<=16 —
+# empirically ~0.4 us/step, measured by the G sweep's slope).
+# MAC: the one-hot chunk-select MXU work (per slot row x window chunks).
+# BYTE: the HBM plane stream. RAMP: the un-overlapped first/last step of
+# the pipeline — penalizes very small step counts (measured non-monotone
+# G at res=24). Bigger groups than round-1's G=16 win at every size;
+# window=2 wins at large n where plane bytes dominate (G48w2 at n=117k:
+# 24.9 vs the old default's 40.3 us/SpMV).
+_STEP_US = 0.4255
+_MAC_US_PER_MSLOT_Q = 0.04521
+_BYTE_US_PER_MB = 0.4827
+_RAMP_US_PER_MB = 2.856
 
 
 def _step_bytes(g: GselPlanes, lane_groups: int) -> int:
@@ -88,7 +96,7 @@ def build_gsel_csr(
 
     a = sp.csr_matrix(a)
     budget = _VMEM_STEP_BYTES // (2 if double_single else 1)
-    candidates = (32, 16, 8, 4, 2, 1) if group is None else None
+    candidates = (64, 48, 32, 16, 8, 4, 2, 1) if group is None else None
     # below G=8 the [G*K', NG*Qg] one-hot matmul is too small for the MXU;
     # only fall through when larger groups are VMEM/window-infeasible
     if group is not None:
@@ -110,21 +118,41 @@ def build_gsel_csr(
             group = max(1, group // 2)
         return None
 
-    best, best_cost = None, None
-    for cand in candidates:
-        if cand < 8 and best is not None:
-            break  # sub-8 groups starve the MXU (measured G=4 regression)
-        g = build_gsel(a, tile=tile, group=cand, max_q=max_q,
-                       double_single=double_single, lane_groups=lane_groups,
-                       dtype=dtype, window=window)
-        if g is None or _step_bytes(g, lane_groups) > budget:
-            continue
-        cost = (
-            _SELECT_PS_PER_SLOT_Q * g.slots * g.q_chunks
-            + _STEP_US * g.n_steps
+    def model_cost(g):
+        mb = (
+            g.onehot.size + g.lidx.size + g.vals.size * 4
+            + (g.vals_lo.size * 4 if g.vals_lo is not None else 0)
+            + g.n_steps * g.group * g.tile * 4
+        ) / 1e6
+        macs = g.slots / 1e6 * g.window * g.q_chunks
+        return (
+            _STEP_US * g.n_steps
+            + _MAC_US_PER_MSLOT_Q * macs
+            + _BYTE_US_PER_MB * mb
+            + _RAMP_US_PER_MB * mb / g.n_steps
         )
-        if best_cost is None or cost < best_cost:
-            best, best_cost = g, cost
+
+    best, best_cost = None, None
+    windows = (window,)
+    if window == 1 and lane_groups == 1 and a.nnz > 3e5:
+        # w=2 halves the slot grid (K' -> ~max degree) at 2x MACs/slot —
+        # wins where plane bytes dominate (round-2a: G48w2 24.9 vs G16w1
+        # 40.3 us at n=117k); small matrices keep w=1 (second gather
+        # costs more than the byte cut)
+        windows = (1, 2)
+    for w_cand in windows:
+        for cand in candidates:
+            if cand < 8 and best is not None:
+                break  # sub-8 groups starve the MXU (measured regression)
+            g = build_gsel(a, tile=tile, group=cand, max_q=max_q,
+                           double_single=double_single,
+                           lane_groups=lane_groups, dtype=dtype,
+                           window=w_cand)
+            if g is None or _step_bytes(g, lane_groups) > budget:
+                continue
+            cost = model_cost(g)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = g, cost
     return best
 
 
@@ -594,8 +622,16 @@ def pcg_gsel_ds(
     return CGResult(x=x64, iters=iters, relres=relres, converged=conv)
 
 
-def _rr_run(g_a, prec, b64, rtol_s, max_it, impl, k_rep):
-    """Jittable residual-replacement PCG (module-level: see _ds_run)."""
+def _rr_run(g_a, prec, b64, rtol_s, max_it, impl, k_rep, a_ds=False,
+            prec_ds=False):
+    """Jittable residual-replacement PCG (module-level: see _ds_run).
+
+    a_ds=True runs the per-iteration A-matvec in double-single while the
+    preconditioner stays f32 — the Krylov direction quality is set by the
+    accuracy of A*d, not of M (M-error only perturbs the preconditioner),
+    so this restores near-fp64 iteration counts on ill-conditioned
+    operators at ~1.6x the f32 iteration cost (the 'rds' tier; VERDICT
+    round-2 item 6)."""
     from ..kernels.ds import DS, ds_add, ds_axpy, ds_dot, ds_from_f64, ds_scale, ds_sub
     from ..kernels.gsel import gsel_spmv_ds_xla
     from ..kernels.gsel_pallas import gsel_spmv_ds_pallas
@@ -617,6 +653,16 @@ def _rr_run(g_a, prec, b64, rtol_s, max_it, impl, k_rep):
             # generic pytree preconditioner (e.g. jacobi): f32 apply on the
             # hi component; re-anchoring keeps the stopping honest
             return DS(prec(r.hi).astype(jnp.float32), jnp.zeros_like(r.hi))
+        if prec_ds:
+            # full double-single SPAI apply (needs ds factor planes)
+            lt = mv_ds(prec.l_t, r)
+            eps = ds_from_f64(jnp.asarray(prec.epsilon, jnp.float64))
+            eps_r = ds_scale(eps, r)
+            if prec.inv_diag is not None:
+                dg = prec.inv_diag.astype(jnp.float32)
+                lt = DS(lt.hi * dg, lt.lo * dg)
+                eps_r = DS(eps_r.hi * dg, eps_r.lo * dg)
+            return ds_add(mv_ds(prec.l_fwd, lt), eps_r)
         lt = mv_fast(prec.l_t, r)
         eps32 = jnp.float32(prec.epsilon)
         if prec.inv_diag is not None:
@@ -645,7 +691,7 @@ def _rr_run(g_a, prec, b64, rtol_s, max_it, impl, k_rep):
 
     def body(st):
         x, r, d, delta, _, it, rn2_anchor = st
-        q = mv_fast(g_a, d)
+        q = mv_ds(g_a, d) if a_ds else mv_fast(g_a, d)
         dq = ds_dot(d, q)
         alpha = ds_from_f64(delta / dq)
         nalpha = DS(-alpha.hi, -alpha.lo)
@@ -683,7 +729,9 @@ def _rr_run(g_a, prec, b64, rtol_s, max_it, impl, k_rep):
     return x64, iters, relres, rn2 <= tol2
 
 
-_rr_run_jit = jax.jit(_rr_run, static_argnames=("impl", "k_rep"))
+_rr_run_jit = jax.jit(
+    _rr_run, static_argnames=("impl", "k_rep", "a_ds", "prec_ds")
+)
 
 
 def pcg_gsel_rr(
@@ -694,9 +742,18 @@ def pcg_gsel_rr(
     max_iter: int = 1000,
     replace_every: int = 64,
     impl: str = "pallas",
+    spmv_precision: str = "f32",
 ) -> CGResult:
     """Residual-replacement mixed-precision PCG: f32 iteration cost with
     HONEST fp64-grade stopping.
+
+    ``spmv_precision='ds'`` (the 'rds' tier) additionally runs the
+    per-iteration A-matvec double-single: on ill-conditioned operators
+    (heat_r20: kappa ~1e5+) the f32 A-products degrade the Krylov
+    directions and inflate iterations ~2.3x over the fp64 oracle; ds A
+    restores near-oracle counts while the preconditioner (2 more SpMVs)
+    stays f32 — measured net ~1.6x per-iteration cost for ~2.3x fewer
+    iterations on that family.
 
     Plain f32 CG's recurrence residual keeps shrinking while the TRUE
     residual stagnates at ~eps_f32*kappa — on ill-conditioned FEM heat
@@ -716,6 +773,7 @@ def pcg_gsel_rr(
     b64 = b.reshape(-1).astype(jnp.float64)
     x64, iters, relres, conv = _rr_run_jit(
         g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter), impl,
-        int(replace_every),
+        int(replace_every), a_ds=spmv_precision in ("ds", "ds_a"),
+        prec_ds=spmv_precision in ("ds", "ds_prec"),
     )
     return CGResult(x=x64, iters=iters, relres=relres, converged=conv)
