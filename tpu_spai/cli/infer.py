@@ -467,6 +467,66 @@ def main(argv=None):
                             except Exception as e:  # noqa: BLE001
                                 log.error(f"{method} device row failed: {e}")
 
+                    # device IC0 row: level-scheduled SpTRSV kernels
+                    # (kernels/sptrsv.py) — the reference's CUDA 'ic'
+                    # column (validate.py:54-86). The solve runs in the
+                    # factor's padded level-major layout; its per-
+                    # iteration cost is bounded by ~2x the level count of
+                    # dependent grid steps (measured A/B:
+                    # scripts/ic_device_ab.py).
+                    if "ic" in check_methods and ga_f is not None:
+                        try:
+                            import scipy.sparse as _sp2
+
+                            from ..kernels.sptrsv import (
+                                IcPrec,
+                                build_ic_planes,
+                            )
+
+                            t0 = time.perf_counter()
+                            if "ic" in fcache:
+                                lfac = _sp2.csr_matrix(fcache["ic"])
+                            else:
+                                from ..native import ic0 as _ic0
+
+                                lfac = _sp2.csr_matrix(_ic0(a_csr))
+                            lfac.sort_indices()
+                            fwd_p, bwd_p, ppos = build_ic_planes(lfac)
+                            coo_a = a_csr.tocoo()
+                            a_pad = _sp2.csr_matrix(
+                                (coo_a.data,
+                                 (ppos[coo_a.row], ppos[coo_a.col])),
+                                shape=(fwd_p.n_pad, fwd_p.n_pad),
+                            )
+                            ga_ic = build_gsel_csr(a_pad)
+                            ic_fact_t = time.perf_counter() - t0 + (
+                                cpu_prec_t.get("ic", 0.0)
+                                if "ic" in fcache else 0.0
+                            )
+                            if ga_ic is None:
+                                raise RuntimeError("padded A unbandable")
+                            bp_ic = np.zeros(fwd_p.n_pad, np.float32)
+                            bp_ic[ppos] = np.asarray(a_csr @ r)
+                            icprec = IcPrec(fwd_p, bwd_p, impl=impl)
+                            ic_solve = lambda: pcg_gsel(  # noqa: E731
+                                ga_ic, jnp.asarray(bp_ic), prec=icprec,
+                                rtol=rtol, max_iter=msize,
+                                dot_dtype="chunk64", impl=impl,
+                            )
+                            icres = ic_solve()
+                            np.asarray(icres.x)
+                            t0 = time.perf_counter()
+                            for _ in range(repeat):
+                                icres = ic_solve()
+                                np.asarray(icres.x)
+                            dt_ic = (time.perf_counter() - t0) / repeat
+                            stats.put(
+                                "PCG-ic-tpu", dt_ic, ic_fact_t,
+                                float(icres.iters), msize,
+                            )
+                        except Exception as e:  # noqa: BLE001
+                            log.error(f"ic device row failed: {e}")
+
                     # fully on-device path: slot-layout GNN
                     # construction (gnn/slotted_block.py; b=1 is the
                     # trivial block case). The GNN message-passes over the

@@ -129,11 +129,23 @@ def _make_mesh(spec: str):
         return grid_tri(n, n)
     if spec.startswith("tet:"):
         # volume-mesh a closed OBJ surface (the reference's tetgen path,
-        # datagen/heat.py:9 via datagen_helper.tetrahedralize)
+        # datagen/heat.py:9 via datagen_helper.tetrahedralize). Optional
+        # trailing ":<mult>" scales the interior spacing (resolution
+        # control, like tetgen's -a volume bound): "tet:bunny.obj:1.5".
         from .meshes import tetrahedralize
 
-        nodes, faces = load_obj(spec.split(":", 1)[1])
-        return tetrahedralize(nodes, faces)
+        parts = spec.split(":")
+        mult = float(parts[2]) if len(parts) > 2 else 1.0
+        nodes, faces = load_obj(parts[1])
+        spacing = None
+        if mult != 1.0:
+            e = np.concatenate(
+                [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+            )
+            spacing = mult * float(np.median(
+                np.linalg.norm(nodes[e[:, 0]] - nodes[e[:, 1]], axis=1)
+            ))
+        return tetrahedralize(nodes, faces, spacing=spacing)
     nodes, faces = load_obj(spec)
     return nodes, faces
 

@@ -153,7 +153,9 @@ def winding_number(
     surface (Van Oosterom–Strackee solid angles, summed over triangles).
     ~1 inside a watertight CCW-oriented surface, ~0 outside. Vectorized in
     point-chunks; O(P * F) flops on the host."""
-    tri = verts[faces]  # [F, 3, 3]
+    tri = verts[faces].astype(np.float32)  # [F, 3, 3] (f32: the 0.5
+    # inside/outside threshold needs ~3 digits, not 15; 2x throughput)
+    points = np.asarray(points, np.float32)
     out = np.empty(len(points))
     for s in range(0, len(points), chunk):
         p = points[s : s + chunk]
@@ -262,11 +264,23 @@ def tetrahedralize(
     pts = pts[d > 0.45 * spacing]
     pts = pts[winding_number(pts, verts, faces) > 0.5]
 
+    inside_cache: dict = {}  # sorted tet ids -> centroid-inside verdict
+
     def triangulate(allp):
         dela = Delaunay(allp)
         tets = dela.simplices.astype(np.int64)
-        cent = allp[tets].mean(axis=1)
-        tets = tets[winding_number(cent, verts, faces) > 0.5]
+        # winding only for tets not classified in a previous round —
+        # refinement re-runs Delaunay from scratch but only the
+        # neighborhoods of inserted points actually change, so the cache
+        # cuts the O(P*F) winding work per round by ~10-100x
+        keys = [tuple(sorted(t)) for t in tets]
+        unknown = [i for i, k in enumerate(keys) if k not in inside_cache]
+        if unknown:
+            cent = allp[tets[unknown]].mean(axis=1)
+            ins = winding_number(cent, verts, faces) > 0.5
+            for j, i in enumerate(unknown):
+                inside_cache[keys[i]] = bool(ins[j])
+        tets = tets[[i for i, k in enumerate(keys) if inside_cache[k]]]
         # drop degenerate (measure-zero) tets
         d10 = allp[tets[:, 1]] - allp[tets[:, 0]]
         d20 = allp[tets[:, 2]] - allp[tets[:, 0]]
