@@ -7,7 +7,9 @@ Reports the distribution before/after Delaunay-refinement rounds and the
 share of tets above the reference's q=1.1 bound and above 2.0 (tetgen's
 own default). Writes output/tet_quality.json.
 
-Usage: python scripts/tet_quality_report.py [mesh.obj ...]
+Usage: python scripts/tet_quality_report.py [mult=N] [mesh.obj ...]
+(`mult` scales the interior spacing — the 2-core container needs mult>=2
+for the bunny to finish; quality statistics are spacing-invariant.)
 """
 
 import json
@@ -38,21 +40,34 @@ def stats(ratio):
 
 
 def main():
+    import numpy as _np
+
     from tpu_spai.datagen.meshes import (
         load_obj,
         tet_radius_edge,
         tetrahedralize,
     )
 
-    meshes = sys.argv[1:] or DEFAULT_MESHES
+    args = sys.argv[1:]
+    mult = 1.0
+    meshes = []
+    for a in args:
+        if a.startswith("mult="):
+            mult = float(a.split("=", 1)[1])
+        else:
+            meshes.append(a)
+    meshes = meshes or DEFAULT_MESHES
     out = {}
     for path in meshes:
         v, f = load_obj(path)
         name = os.path.basename(path)
         row = {}
+        e = _np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        sp_ = mult * float(_np.median(
+            _np.linalg.norm(v[e[:, 0]] - v[e[:, 1]], axis=1)))
         for label, q in (("unrefined", None), ("refined_q1.6", 1.6),
                          ("refined_q1.2", 1.2)):
-            tv, tt = tetrahedralize(v, f, quality=q, seed=0)
+            tv, tt = tetrahedralize(v, f, spacing=sp_, quality=q, seed=0)
             row[label] = stats(tet_radius_edge(tv, tt))
             print(name, label, row[label], flush=True)
         out[name] = row

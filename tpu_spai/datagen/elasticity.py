@@ -284,6 +284,7 @@ class _ElasticityBase(DatagenBase):
         youngs: float = 3e6,
         poisson: float = 0.4,
         seed: int = 42,
+        pick_radius: float = 0.0,
         **kw,
     ):
         super().__init__(prefix=prefix, seed=seed, **kw)
@@ -308,8 +309,22 @@ class _ElasticityBase(DatagenBase):
         )
         self.solver.set_rtol(3e-4)
         self.solver.add_gravity(np.array([0, 0, -9.8]))
-        self.left_dofs = np.where(vert[:, 0] == vert[:, 0].min())[0]
-        self.right_dofs = np.where(vert[:, 0] == vert[:, 0].max())[0]
+        if pick_radius > 0.0:
+            # irregular meshes (armadillo): ball-pick the constrained
+            # regions around the x-extreme points, like the reference's
+            # ball-picked hands/feet (stretch_armadillo.py:104-154);
+            # radius is a fraction of the bbox diagonal
+            diag = float(np.linalg.norm(vert.max(0) - vert.min(0)))
+            r = pick_radius * diag
+            lo_pt = vert[np.argmin(vert[:, 0])]
+            hi_pt = vert[np.argmax(vert[:, 0])]
+            self.left_dofs = np.where(
+                np.linalg.norm(vert - lo_pt, axis=1) <= r)[0]
+            self.right_dofs = np.where(
+                np.linalg.norm(vert - hi_pt, axis=1) <= r)[0]
+        else:
+            self.left_dofs = np.where(vert[:, 0] == vert[:, 0].min())[0]
+            self.right_dofs = np.where(vert[:, 0] == vert[:, 0].max())[0]
         self.solver.mark_dirichlet_batched(
             self.left_dofs, np.zeros((len(self.left_dofs), 3))
         )
