@@ -37,6 +37,11 @@ import numpy as np
 from ..kernels.gsel import LANE, GselPlanes, build_gsel, expand_window
 
 
+# all channel contractions pin full-f32 MXU precision: the TPU default
+# (bf16 passes) makes the compiled forward drift ~1e-2 from the CPU/flax
+# path (caught by scripts/tpu_kernel_gate.py round 2)
+_HI = jax.lax.Precision.HIGHEST
+
 def _static(**kw):
     return field(metadata=dict(static=True), **kw)
 
@@ -80,7 +85,7 @@ def fused_safe_group(
     scheduler headroom. Callers should pass n_cols — with the default 0
     the model reduces to a plane-only budget (adequate for n <~ 30k)."""
     if window == 1:
-        return max(1, 19968 // (k_width * LANE))
+        return max(1, 13312 // (k_width * LANE))
     n_chunks = -(-n_cols // LANE) + q_chunks
     x_bytes = nf * n_chunks * LANE * 4
     if x_bytes > STREAM_X_BYTES:
@@ -88,7 +93,10 @@ def fused_safe_group(
         # only the [nf, Qg, 128] scratch stays resident
         x_bytes = nf * q_chunks * LANE * 4
     budget = int(15.0 * 2**20) - x_bytes
-    return max(1, min(16, budget // (437 * k_width * LANE)))
+    # 650 B/slot-lane: the 437 B calibration + the full-f32 (HIGHEST)
+    # matmul lowering's bf16-split scratch (round-2 precision pin; the
+    # prior 437 B model OOM'd at 23.4M/16M on the gate's n=2744 case)
+    return max(1, min(16, budget // (650 * k_width * LANE)))
 
 
 def build_slot_graph(
@@ -369,7 +377,7 @@ def _ffn_planes_parts(p: dict, parts) -> jax.Array:
             p2 = expand(jnp.sum(jnp.square(q), axis=1, keepdims=True))
             s1 = p1 if s1 is None else s1 + p1
             s2 = p2 if s2 is None else s2 + p2
-        term = expand(jnp.einsum("sckt,ch->shkt", q, w))
+        term = expand(jnp.einsum("sckt,ch->shkt", q, w, precision=_HI))
         out = term if out is None else out + term
     if kind != "none":
         mu = s1 / c_tot
@@ -379,16 +387,16 @@ def _ffn_planes_parts(p: dict, parts) -> jax.Array:
             else jax.lax.rsqrt(s2 / c_tot + 1e-6)
         )
         sw = jnp.einsum(
-            "c,ch->h", np_["scale"], k0
+            "c,ch->h", np_["scale"], k0, precision=_HI
         )  # scale-weighted column sums
         out = rs * out - (rs * mu) * sw[None, :, None, None]
         if kind == "layer":
-            out = out + jnp.einsum("c,ch->h", np_["bias"], k0)[
+            out = out + jnp.einsum("c,ch->h", np_["bias"], k0, precision=_HI)[
                 None, :, None, None
             ]
     x = jax.nn.gelu(out + b0[None, :, None, None])
     for i, k in enumerate(denses[1:]):
-        x = jnp.einsum("sckt,ch->shkt", x, p[k]["kernel"]) + p[k]["bias"][
+        x = jnp.einsum("sckt,ch->shkt", x, p[k]["kernel"], precision=_HI) + p[k]["bias"][
             None, :, None, None
         ]
         if i < len(denses) - 2:
@@ -416,7 +424,7 @@ def _ffn_planes(p: dict, x: jax.Array) -> jax.Array:
     )
     for i, k in enumerate(denses):
         kern = p[k]["kernel"]
-        x = jnp.einsum("sckt,ch->shkt", x, kern) + p[k]["bias"][
+        x = jnp.einsum("sckt,ch->shkt", x, kern, precision=_HI) + p[k]["bias"][
             None, :, None, None
         ]
         if i < len(denses) - 1:

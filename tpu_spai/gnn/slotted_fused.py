@@ -69,8 +69,10 @@ def fold_ffn(p: dict):
         scale = jnp.asarray(np_["scale"], jnp.float32)
         bias = jnp.asarray(np_["bias"], jnp.float32)
         w0 = k0 * scale[:, None]
-        sw = jnp.einsum("c,ch->h", scale, k0)
-        bconst = jnp.einsum("c,ch->h", bias, k0) + b0
+        sw = jnp.einsum("c,ch->h", scale, k0,
+                        precision=jax.lax.Precision.HIGHEST)
+        bconst = jnp.einsum("c,ch->h", bias, k0,
+                            precision=jax.lax.Precision.HIGHEST) + b0
     else:
         w0 = k0
         sw = jnp.zeros((k0.shape[1],), jnp.float32)
@@ -94,6 +96,7 @@ def _dotT(w, q):
     return jax.lax.dot_general(
         w, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

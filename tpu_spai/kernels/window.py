@@ -154,10 +154,10 @@ def windowed_spmv_xla(w: WindowedEll, x: jax.Array) -> jax.Array:
             xc, (zero, base_j, zero), (b, q, LANE)
         )  # [b,q,128]
         oh_q = (q_j[..., None] == iota_q).astype(w.vals.dtype)  # [k,t,q]
-        rows = jnp.einsum("ktq,bqc->bktc", oh_q, xw)  # MXU chunk select
+        rows = jnp.einsum("ktq,bqc->bktc", oh_q, xw, precision=jax.lax.Precision.HIGHEST)  # MXU chunk select
         oh_l = (l_j[..., None] == iota_l).astype(w.vals.dtype)  # [k,t,128]
-        xg = jnp.einsum("bktc,ktc->bkt", rows, oh_l)  # VPU lane select
-        y_j = jnp.einsum("pqkt,qkt->tp", v_j, xg)  # [t, b]
+        xg = jnp.einsum("bktc,ktc->bkt", rows, oh_l, precision=jax.lax.Precision.HIGHEST)  # VPU lane select
+        y_j = jnp.einsum("pqkt,qkt->tp", v_j, xg, precision=jax.lax.Precision.HIGHEST)  # [t, b]
         return carry, y_j
 
     _, ys = jax.lax.scan(
