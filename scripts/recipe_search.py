@@ -17,17 +17,42 @@ import numpy as np  # noqa: F401
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# per-family variant menus: the losing families need different levers
+# (the synthetic family is already wide+slow-decay in the parity recipe)
 VARIANTS = {
-    "base": [],
-    "g995": ["scheduler.params.gamma=0.995"],
-    "g995_w32": ["scheduler.params.gamma=0.995", "gnn_features=32"],
-    "g995_w32_mp6": [
-        "scheduler.params.gamma=0.995", "gnn_features=32",
-        "gnn.num_mp_layers=6",
-    ],
+    "default": {
+        "base": [],
+        "g995": ["scheduler.params.gamma=0.995"],
+        "g995_w32": ["scheduler.params.gamma=0.995", "gnn_features=32"],
+        "g995_w32_mp6": [
+            "scheduler.params.gamma=0.995", "gnn_features=32",
+            "gnn.num_mp_layers=6",
+        ],
+    },
+    "synthetic": {
+        "base": [],
+        "w64": ["gnn_features=64"],
+        "mp8": ["gnn.num_mp_layers=8"],
+    },
 }
 
 FAMILIES = {
+    "synthetic": dict(
+        gen=lambda wd: __import__(
+            "tpu_spai.datagen.synthetic", fromlist=["SyntheticDatagen"]
+        ).SyntheticDatagen(
+            prefix=f"{wd}/synthetic", max_count=16, low=200, high=280,
+            sparsity=1.5e-2, alpha=1e-3, seed=7,
+        ).generate(),
+        overrides=lambda wd: [
+            f"data.prefix={wd}/synthetic", "data.is_fixed_topology=false",
+            "data.has_shared_features=false", "data.use_node_features=false",
+            "data.use_edge_features_as_node_feature=mean",
+            "gnn_features=48", "gnn.num_mp_layers=6",
+            "scheduler.params.gamma=0.9995",
+        ],
+        epochs_mult=4,
+    ),
     "heat_tetmesh": dict(
         gen=lambda wd: __import__(
             "tpu_spai.datagen.heat", fromlist=["MultimeshHeatDatagen"]
@@ -77,12 +102,13 @@ def main():
                 spec["gen"](wd)
                 gen_done[0] = True
 
-        for vname, vover in VARIANTS.items():
+        fam_epochs = epochs * int(spec.get("epochs_mult", 1))
+        for vname, vover in VARIANTS.get(fam, VARIANTS["default"]).items():
             key = f"{fam}/{vname}"
             try:
                 stats = run_family(
                     f"{fam}_{vname}", gen_once, {},
-                    spec["overrides"](wd) + vover, epochs, wd,
+                    spec["overrides"](wd) + vover, fam_epochs, wd,
                     weight_init="torch",
                 )
                 best_eps = min(
