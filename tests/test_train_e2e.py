@@ -141,3 +141,23 @@ def test_train_npcg_workspace_runs(tiny_synthetic, tmp_path):
         ws, params, batch, ["none"], epsilon=float(cfg.epsilon), max_iter=2000
     )
     assert "Val/cpu_neural_iter" in stats
+
+
+def test_resume_missing_checkpoint_starts_fresh(tiny_synthetic, tmp_path):
+    # first segment of a segmented run: resume= points at a checkpoint
+    # dir that does not exist yet — must start fresh, not crash
+    # (regression: the round-2 TPU queue lost its bunny training segments
+    # to an orbax FileNotFoundError here)
+    cfg = _cfg(
+        tiny_synthetic,
+        output_dir=str(tmp_path / "out3"),
+        resume=str(tmp_path / "out3" / "checkpoints"),
+        **{"trainer.max_epochs": 2},
+    )
+    ds = FolderDataset(**cfg.data)
+    ws = get_workspace("simple")(
+        gnn=cfg.gnn, loss=cfg.loss, block_size=ds.block_size,
+        epsilon=float(cfg.epsilon),
+    )
+    params = fit(ws, ds, cfg, out_dir=str(tmp_path / "out3"), seed=0)
+    assert params is not None

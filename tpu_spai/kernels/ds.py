@@ -103,16 +103,26 @@ def ds_axpy(a: DS, x: DS, y: DS) -> DS:
 
 
 def ds_dot(x: DS, y: DS):
-    """<x, y> -> f64 scalar: TwoProd per element, f32 partial sums within
-    128-lane chunks, exact f64 combination of partials (+ error channel)."""
+    """<x, y> -> f64 scalar: TwoProd per element, compensated (error-free
+    pairwise TwoSum tree) partial sums within 128-lane chunks, exact f64
+    combination of partials.
+
+    The earlier plain-f32 chunk head sums left ~128*2^-24 relative error
+    per chunk — f32-grade alpha/beta scalars inside the otherwise
+    fp64-grade ds CG loop. The TwoSum tree keeps the head partials exact
+    to ~2^-48 (errors recombined through the f64 channel), restoring
+    fp64-grade dots at ~7 extra VPU ops/element."""
     p, e = two_prod(x.hi.ravel(), y.hi.ravel())
     e = e + x.hi.ravel() * y.lo.ravel() + x.lo.ravel() * y.hi.ravel()
     pad = (-p.shape[0]) % 128
     if pad:
         p = jnp.pad(p, (0, pad))
         e = jnp.pad(e, (0, pad))
-    ph = jnp.sum(p.reshape(-1, 128), axis=1).astype(jnp.float64)
-    # per-chunk f32 rounding of the head sums is the dominant residual
-    # error (~128 * 2^-24 per chunk, exactly recombined in f64)
-    eh = jnp.sum(e.reshape(-1, 128), axis=1).astype(jnp.float64)
-    return jnp.sum(ph) + jnp.sum(eh)
+    p = p.reshape(-1, 128)
+    err = jnp.sum(e.reshape(-1, 128), axis=1)  # tiny terms: f32 sum is fine
+    while p.shape[1] > 1:  # pairwise TwoSum halving: 7 rounds for 128 lanes
+        s, t = two_sum(p[:, ::2], p[:, 1::2])
+        err = err + jnp.sum(t, axis=1)
+        p = s
+    return jnp.sum(p[:, 0].astype(jnp.float64)) + jnp.sum(
+        err.astype(jnp.float64))

@@ -302,13 +302,20 @@ def fit(
         rp = Path(resume)
         if rp.is_dir() and (rp / "latest.json").exists():
             rp = latest_checkpoint(rp)
-        params = load_checkpoint(rp, params)
-        opt_state = load_opt_state(rp, opt_state)
-        start_epoch = int(str(rp.name).split("_")[-1]) + 1
-        # fresh shuffling stream per segment (else every segment replays
-        # the same batch-order sequence)
-        rng = np.random.default_rng(seed + start_epoch)
-        log.info(f"resumed from {rp}: starting at epoch {start_epoch}")
+        # first segment of a fresh run: resume= may point at a checkpoint
+        # dir that does not exist yet (or is empty) — start fresh instead
+        # of crashing, so segment loops can use one uniform command line
+        if (rp is None or not Path(rp).exists()
+                or (Path(rp).is_dir() and not any(Path(rp).iterdir()))):
+            log.info(f"resume: no checkpoint under {resume}; starting fresh")
+        else:
+            params = load_checkpoint(rp, params)
+            opt_state = load_opt_state(rp, opt_state)
+            start_epoch = int(str(rp.name).split("_")[-1]) + 1
+            # fresh shuffling stream per segment (else every segment
+            # replays the same batch-order sequence)
+            rng = np.random.default_rng(seed + start_epoch)
+            log.info(f"resumed from {rp}: starting at epoch {start_epoch}")
 
     def _train_step_impl(params, opt_state, batch):
         (loss, aux), grads = jax.value_and_grad(workspace.loss, has_aux=True)(
