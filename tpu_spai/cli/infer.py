@@ -203,21 +203,22 @@ def main(argv=None):
                         pcg_gsel,
                     )
 
-                    # default device precision: residual-replacement mixed
-                    # CG — f32 iteration cost with honest fp64-grade
-                    # stopping, so the Neural+TPU iteration count matches
-                    # the host fp64 oracle instead of inflating on
-                    # ill-conditioned families (docs/PERF.md f32
-                    # stopping-honesty study). Override with
-                    # +device_precision={f32,c64,ds} for the sweeps.
-                    dev_prec = str(cfg.select("device_precision", "rr"))
+                    # default device precision: 'rds' — residual-
+                    # replacement CG with a double-single A-matvec and f32
+                    # preconditioner apply. On-chip study (output/
+                    # rds_study_tpu.csv): beats plain rr in wall-clock
+                    # (33.0/34.8 vs 35.5/36.7 ms on heat_r20) at 1.4-1.6x
+                    # host-fp64 iterations vs rr's 1.7-2.4x; stopping is
+                    # fp64-grade TRUE residual in both. Override with
+                    # +device_precision={rr,f32,c64,ds} for the sweeps.
+                    dev_prec = str(cfg.select("device_precision", "rds"))
                     wperm = rcm_permutation(a_csr)
                     a_p = a_csr[wperm][:, wperm].tocsr()
                     a_p.sort_indices()
                     l_p = l_csr[wperm][:, wperm].tocsr()
                     l_p.sort_indices()
                     ds = dev_prec == "ds"
-                    rr = dev_prec == "rr"  # residual-replacement mixed CG
+                    rr = dev_prec in ("rr", "rds")  # residual-replacement
                     ga_f = build_gsel_csr(a_p, double_single=ds or rr)
                     gl_f = build_gsel_csr(l_p, double_single=ds)
                     gl_t = build_gsel_csr(l_p.T.tocsr(), double_single=ds)
@@ -239,9 +240,13 @@ def main(argv=None):
                         if rr:
                             from ..solver.gsel_solver import pcg_gsel_rr
 
+                            spmv_p = (
+                                "ds_a" if dev_prec == "rds" else "f32"
+                            )
                             solve_ = lambda: pcg_gsel_rr(  # noqa: E731
                                 ga_f, b_p.astype(jnp.float64), prec=prec_obj,
                                 rtol=rtol, max_iter=msize, impl=impl,
+                                spmv_precision=spmv_p,
                             )
                         else:
                             kw2 = dict(rtol=rtol, max_iter=msize, impl=impl)
