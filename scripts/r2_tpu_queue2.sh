@@ -17,7 +17,7 @@ q() {
 for i in 1 2 3 4 5 6; do
   q timeout 2400 python -m tpu_spai.cli.train exp_name=heat_bunny \
     trainer.max_epochs=300 trainer.epochs_per_run=50 \
-    trainer.check_val_every_n_epoch=100 checkpoint.every_n_epochs=50 \
+    trainer.check_val_every_n_epoch=100 checkpoint.every_n_epochs=10 \
     'check_methods=[none]' \
     output_dir=outputs/heat_bunny resume=outputs/heat_bunny/checkpoints
 done
@@ -33,7 +33,7 @@ for i in 1 2 3 4; do
   q timeout 3000 python -m tpu_spai.cli.train exp_name=stretch_armadillo \
     data.block_size=3 workspace=scaled \
     trainer.max_epochs=200 trainer.epochs_per_run=50 \
-    trainer.check_val_every_n_epoch=100 checkpoint.every_n_epochs=50 \
+    trainer.check_val_every_n_epoch=100 checkpoint.every_n_epochs=10 \
     'check_methods=[none]' \
     output_dir=outputs/stretch_armadillo \
     resume=outputs/stretch_armadillo/checkpoints
