@@ -209,3 +209,28 @@ def test_elasticity_stretch(tmp_path):
     assert len(ds) == 3
     for i in range(3):
         assert _is_spd(_mat(ds.get(i)), strict_tol=1e-8)
+
+
+def test_ball_pick_regions():
+    """pick_radius ball-picks multi-vertex constrained regions around the
+    x-extremes on irregular meshes (the armadillo stretch path)."""
+    import numpy as np
+
+    from tpu_spai.datagen.elasticity import StretchDatagen
+
+    rng = np.random.default_rng(0)
+    # irregular tet blob: jittered box grid (no exact-plane x faces)
+    from tpu_spai.datagen.meshes import unit_box_tet
+
+    vert, elem = unit_box_tet(4, 3, 3)
+    vert = vert + rng.uniform(-0.04, 0.04, vert.shape)
+    np.save("/tmp/_bp_verts.npy", vert)
+    np.save("/tmp/_bp_elems.npy", elem.astype(np.int32))
+    dg = StretchDatagen(
+        prefix="/tmp/_bp_out", mesh_npy="/tmp/_bp",
+        pick_radius=0.3, max_count=1, dry_run=True,
+    )
+    assert len(dg.left_dofs) > 3 and len(dg.right_dofs) > 3
+    # regions sit at opposite x extremes
+    assert vert[dg.left_dofs, 0].mean() < vert[:, 0].mean()
+    assert vert[dg.right_dofs, 0].mean() > vert[:, 0].mean()
