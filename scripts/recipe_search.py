@@ -29,6 +29,15 @@ VARIANTS = {
             "gnn.num_mp_layers=6",
         ],
     },
+    # round-2b aggressive menu (run with epochs=800): the first sweep
+    # showed capacity+slow-decay halves the elast gap; push further
+    "aggressive": {
+        "w48_g9975": ["scheduler.params.gamma=0.9975", "gnn_features=48"],
+        "w48_mp6_g9975": [
+            "scheduler.params.gamma=0.9975", "gnn_features=48",
+            "gnn.num_mp_layers=6",
+        ],
+    },
     "synthetic": {
         "base": [],
         "w64": ["gnn_features=64"],
@@ -87,6 +96,7 @@ def main():
     from tpu_spai.bench.parity import run_family
 
     kv = dict(a.split("=", 1) for a in sys.argv[1:])
+    kv_menu = VARIANTS.get(kv.get("menu", ""), None)
     fams = kv.get("families", "heat_tetmesh,elast_twist_bsr3").split(",")
     epochs = int(kv.get("epochs", 500))
     wd = kv.get("workdir", "/tmp/recipe_search")
@@ -103,7 +113,8 @@ def main():
                 gen_done[0] = True
 
         fam_epochs = epochs * int(spec.get("epochs_mult", 1))
-        for vname, vover in VARIANTS.get(fam, VARIANTS["default"]).items():
+        menu = kv_menu if kv_menu else VARIANTS.get(fam, VARIANTS["default"])
+        for vname, vover in menu.items():
             key = f"{fam}/{vname}"
             try:
                 stats = run_family(
@@ -126,7 +137,8 @@ def main():
                 results[key] = {"error": str(exc)[:200]}
             print(json.dumps({key: results[key]}), flush=True)
 
-    with open(os.path.join(wd, "recipe_results.json"), "w") as f:
+    out_name = kv.get("out", "recipe_results.json")
+    with open(os.path.join(wd, out_name), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
 
