@@ -559,19 +559,28 @@ def main(argv=None):
                         bb = b_sz * b_sz
                         n_blk = n_valid
                         ei_v = ei[:, :e_valid]
-                        if b_sz == 1:
-                            bperm = wperm  # scalar RCM already computed
-                        else:
-                            a_blk = sp.csr_matrix(
-                                (np.ones(e_valid), (ei_v[0], ei_v[1])),
-                                shape=(n_blk, n_blk),
-                            )
-                            bperm = rcm_permutation(a_blk)
+                        # the slot grid must cover the RAW edge pattern
+                        # (the GNN message-passes over every stored edge,
+                        # masked or not) — the solver's wperm is computed
+                        # on the Dirichlet-MASKED matrix, where boundary
+                        # vertices are isolated and get ordered
+                        # arbitrarily, blowing the raw-edge bandwidth up
+                        # (poisson_pipe: 239 masked vs 22,884 raw)
+                        a_blk = sp.csr_matrix(
+                            (np.ones(e_valid), (ei_v[0], ei_v[1])),
+                            shape=(n_blk, n_blk),
+                        )
+                        bperm = rcm_permutation(a_blk)
                         bpos = np.empty_like(bperm)
                         bpos[bperm] = np.arange(n_blk)
                         layout = build_block_slot_layout(
                             bpos[ei_v[0]], bpos[ei_v[1]], n_blk, b_sz
                         )
+                        if layout is None:
+                            log.warning(
+                                "NeuralSlot row skipped: slot layout "
+                                "infeasible (pattern too wide)"
+                            )
                         if layout is not None and impl == "pallas":
                             pat = layout.sg.pattern
                             gsafe = fused_safe_group(
@@ -712,10 +721,13 @@ def main(argv=None):
                             if rr:
                                 from ..solver.gsel_solver import pcg_gsel_rr
 
+                                spmv_p = (
+                                    "ds_a" if dev_prec == "rds" else "f32"
+                                )
                                 slot_solve = lambda: pcg_gsel_rr(  # noqa: E731
                                     apl, b_slot.astype(jnp.float64),
                                     prec=sprec, rtol=rtol, max_iter=msize,
-                                    impl=impl,
+                                    impl=impl, spmv_precision=spmv_p,
                                 )
                             else:
                                 mx = dev_prec == "c64"
