@@ -38,6 +38,10 @@ VARIANTS = {
             "gnn.num_mp_layers=6",
         ],
     },
+    # round-2c: heat_tetmesh final push (gap 32.3 vs FSAI 30.7 at w48)
+    "heat_final": {
+        "w64_g999": ["scheduler.params.gamma=0.999", "gnn_features=64"],
+    },
     "synthetic": {
         "base": [],
         "w64": ["gnn_features=64"],
