@@ -21,6 +21,14 @@ Details carry:
 The production path is exercised through cli.infer itself (NeuralSlot+TPU
 row), so this benchmarks what users run, not a bench-only pipeline.
 
+Round-3 protocol (VERDICT items 1+2): construction + grouped-anchor
+rds solve compile into ONE dispatched program (gnn/construct.py), so the
+headline wall-clock pays the ~22.5 ms axon-relay dispatch floor exactly
+once; the construction number is chained-differenced device time. The
+relay floor (a test-tunnel artifact — output/r3_relay_cost.json) is
+measured fresh each run and reported in detail, together with the
+deployment-representative `e2e_device_ms` / `vs_baseline_device`.
+
 Honest-timing protocol (docs/PERF.md): chained programs + host fetch;
 min-of-N differencing where per-iteration costs are reported.
 """
@@ -93,6 +101,31 @@ def _infer_neural_row(prefix, ckpt, out_dir, extra=()):
     }
 
 
+def _relay_floor_ms():
+    """Fixed wall-clock cost of ONE dispatched program through the axon
+    relay (measured ~22.5 ms regardless of program/arg size —
+    output/r3_relay_cost.json). Subtracted nowhere in the headline; used
+    to report the deployment-representative device number alongside."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def tiny(x):
+        return x.sum()
+
+    x8 = jnp.ones(8, jnp.float32)
+    np.asarray(tiny(x8))
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        np.asarray(tiny(x8))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
 def main():
     import jax
 
@@ -111,6 +144,9 @@ def main():
     log(f"device: {dev} ({plat}), HBM {bw} GB/s")
 
     detail = {}
+    relay_ms = _relay_floor_ms()
+    detail["relay_dispatch_floor_ms"] = round(relay_ms, 2)
+    log(f"relay per-dispatch floor: {relay_ms:.1f} ms")
 
     # ---- 1) measured isolated SpMV roofline (items VERDICT-1) ----------
     from tpu_spai.bench.roofline import spmv_roofline_row
@@ -173,6 +209,20 @@ def main():
         rate = e2e["iters"] / (e2e["solve_ms"] / 1e3)
         detail["pcg_iters_per_s"] = round(rate, 1)
         detail["vs_ref_iter_rate"] = round(rate / REF_PCG_ITERS_PER_S, 3)
+        # the solve wall carries the one-program relay dispatch floor
+        # (test-tunnel artifact, not TPU time); the device rate is the
+        # deployment-representative number
+        net_ms = max(e2e["solve_ms"] - relay_ms, 1e-6)
+        rate_dev = e2e["iters"] / (net_ms / 1e3)
+        detail["pcg_iters_per_s_device"] = round(rate_dev, 1)
+        detail["vs_ref_iter_rate_device"] = round(
+            rate_dev / REF_PCG_ITERS_PER_S, 3
+        )
+        total = e2e["prec_ms"] + e2e["solve_ms"]
+        detail["e2e_device_ms"] = round(max(total - relay_ms, 0.0), 2)
+        detail["vs_baseline_device"] = round(
+            REF_HEAT_TOTAL_MS / max(total - relay_ms, 1e-6), 4
+        )
 
     cancel()
     if e2e:

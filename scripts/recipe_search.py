@@ -100,7 +100,12 @@ def main():
     from tpu_spai.bench.parity import run_family
 
     kv = dict(a.split("=", 1) for a in sys.argv[1:])
-    kv_menu = VARIANTS.get(kv.get("menu", ""), None)
+    menu_key = kv.get("menu", "")
+    if menu_key and menu_key not in VARIANTS:
+        sys.exit(
+            f"unknown menu={menu_key!r}; available: {sorted(VARIANTS)}"
+        )  # a typo must not silently run the wrong expensive sweep
+    kv_menu = VARIANTS.get(menu_key, None)
     fams = kv.get("families", "heat_tetmesh,elast_twist_bsr3").split(",")
     epochs = int(kv.get("epochs", 500))
     wd = kv.get("workdir", "/tmp/recipe_search")

@@ -211,7 +211,7 @@ def test_elasticity_stretch(tmp_path):
         assert _is_spd(_mat(ds.get(i)), strict_tol=1e-8)
 
 
-def test_ball_pick_regions():
+def test_ball_pick_regions(tmp_path):
     """pick_radius ball-picks multi-vertex constrained regions around the
     x-extremes on irregular meshes (the armadillo stretch path)."""
     import numpy as np
@@ -224,10 +224,10 @@ def test_ball_pick_regions():
 
     vert, elem = unit_box_tet(4, 3, 3)
     vert = vert + rng.uniform(-0.04, 0.04, vert.shape)
-    np.save("/tmp/_bp_verts.npy", vert)
-    np.save("/tmp/_bp_elems.npy", elem.astype(np.int32))
+    np.save(tmp_path / "_bp_verts.npy", vert)
+    np.save(tmp_path / "_bp_elems.npy", elem.astype(np.int32))
     dg = StretchDatagen(
-        prefix="/tmp/_bp_out", mesh_npy="/tmp/_bp",
+        prefix=str(tmp_path / "_bp_out"), mesh_npy=str(tmp_path / "_bp"),
         pick_radius=0.3, max_count=1, dry_run=True,
     )
     assert len(dg.left_dofs) > 3 and len(dg.right_dofs) > 3

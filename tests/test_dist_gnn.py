@@ -206,6 +206,143 @@ def test_dist_neural_pcg_matches_single_device():
     assert rel < 3e-3, rel
 
 
+def _bsr_fem(b=3):
+    """Block-SPD operator with dense b x b blocks on a FEM pattern:
+    A = kron(Lap + M, S) with S SPD — SPD, block bandwidth = scalar
+    FEM bandwidth (the elasticity Hessian stand-in for sharding tests)."""
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.native import laplacian, lumped_mass
+
+    nodes, elems = unit_box_tet(4, 4, 24)
+    lap = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(lumped_mass(nodes, elems))
+    )
+    s_blk = np.array([[2.0, 0.5, 0.2], [0.5, 1.5, 0.3], [0.2, 0.3, 1.0]])[
+        :b, :b
+    ]
+    a = sp.kron(lap, s_blk).tocsr()
+    a.sort_indices()
+    return a
+
+
+def _block_features(a, b):
+    """Deterministic block-level features computable from the scalar
+    matrix (permutation-covariant, like _features): per-block-edge
+    [summed |entries|, diag-block flag]; per-block-node [trace, 1]."""
+    a = sp.csr_matrix(a)
+    a.sort_indices()
+    n_b = a.shape[0] // b
+    coo = a.tocoo()
+    w = sp.csr_matrix(
+        (np.abs(coo.data), (coo.row // b, coo.col // b)), shape=(n_b, n_b)
+    )
+    w.sum_duplicates()
+    w.sort_indices()
+    wc = w.tocoo()  # canonical block order (matches partition contract)
+    d = a.diagonal().reshape(n_b, b).sum(axis=1)
+    nf = np.stack([d, np.ones_like(d)], axis=1).astype(np.float32)
+    ef = np.stack(
+        [wc.data, (wc.row == wc.col).astype(np.float64)], axis=1
+    ).astype(np.float32)
+    return nf, ef, wc
+
+
+def test_dist_block_factor_b3():
+    """b=3 sharded construction (VERDICT r2 item 7): 1-vs-8-shard factor
+    parity, slot planes vs the host-assembled scalar expansion, and the
+    fully sharded neural solve."""
+    b = 3
+    a = _bsr_fem(b)
+    n_s = a.shape[0]
+    nf, ef, wc = _block_features(a, b)
+    model = NodeEdgeProcessing(
+        node_out_features=None,
+        edge_out_features=b * b,
+        node_features=8,
+        edge_features=8,
+        num_mp_layers=2,
+    )
+    ei = jnp.asarray(np.stack([wc.row, wc.col]), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(nf), ei, jnp.asarray(ef),
+        jnp.ones(len(wc.row), jnp.float32),
+    )
+
+    p8, perm8 = partition_gnn_inference(
+        a, nf, ef, n_shards=8, block_size=b
+    )
+    p1, perm1 = partition_gnn_inference(
+        a, nf, ef, n_shards=1, block_size=b
+    )
+    np.testing.assert_array_equal(perm8, perm1)
+    assert p8.pg_a.chunk % b == 0 and p8.pg_a.halo % b == 0
+    e8 = np.asarray(dist_gnn_factor(model, params, p8))  # [8, E_pad, 9]
+    e1 = np.asarray(dist_gnn_factor(model, params, p1))
+
+    # 1-vs-8 parity on local block edges
+    perm_s = (perm8[:, None] * b + np.arange(b)[None, :]).reshape(-1)
+    ap_s = a[perm_s][:, perm_s].tocsr()
+    ap_s.sort_indices()
+    nf_p, ef_p, wc_p = _block_features(ap_s, b)
+    chunk_b = p8.pg_a.chunk // b
+    shard_of = wc_p.row // chunk_b
+    got8 = np.zeros((wc_p.nnz, b * b), np.float32)
+    pos = np.zeros(8, np.int64)
+    for i in range(wc_p.nnz):
+        s = shard_of[i]
+        got8[i] = e8[s, pos[s]]
+        pos[s] += 1
+    np.testing.assert_allclose(
+        got8, e1[0, : wc_p.nnz], rtol=2e-5, atol=2e-6
+    )
+
+    # slot planes vs host-assembled scalar factor expansion
+    pl, plt = factor_planes(p8, jnp.asarray(e8))
+    ei_p = jnp.asarray(np.stack([wc_p.row, wc_p.col]), jnp.int32)
+    _, vals_ref = model.apply(
+        params, jnp.asarray(nf_p), ei_p, jnp.asarray(ef_p),
+        jnp.ones(wc_p.nnz, jnp.float32),
+    )
+    vals_ref = np.asarray(vals_ref, np.float64)  # [E_b, 9] row-major i*b+j
+    i_idx, j_idx = np.divmod(np.arange(b * b), b)
+    rows_s = (wc_p.row[:, None] * b + i_idx[None, :]).reshape(-1)
+    cols_s = (wc_p.col[:, None] * b + j_idx[None, :]).reshape(-1)
+    l_csr = sp.csr_matrix(
+        (vals_ref.reshape(-1), (rows_s, cols_s)), shape=(n_s, n_s)
+    )
+    from tpu_spai.dist.gsel_dist import partition_gsel_permuted
+
+    pl_ref = partition_gsel_permuted(
+        l_csr, 8, halo=p8.pg_a.halo, chunk_multiple=b
+    )
+    plt_ref = partition_gsel_permuted(
+        sp.csr_matrix(l_csr.T).tocsr(), 8, halo=p8.pg_a.halo,
+        chunk_multiple=b,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl.vals), np.asarray(pl_ref.vals), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(plt.vals), np.asarray(plt_ref.vals), rtol=2e-5,
+        atol=2e-6,
+    )
+
+    # fully sharded b=3 neural solve: 8-vs-1-shard iteration parity
+    rhs = a @ np.ones(n_s)
+    iters = {}
+    for p, pgnn in ((1, p1), (8, p8)):
+        bp = np.zeros(p * pgnn.pg_a.chunk, np.float32)
+        bp[:n_s] = rhs[perm_s]
+        b_part = jnp.asarray(bp.reshape(p, pgnn.pg_a.chunk))
+        res = dist_neural_pcg(
+            model, params, pgnn, b_part, epsilon=1.0, rtol=1e-6,
+            max_iter=5000, impl="xla",
+        )
+        assert bool(res.converged)
+        iters[p] = int(res.iters)
+    assert abs(iters[8] - iters[1]) <= 2, iters
+
+
 def test_one_shard_equals_eight():
     """Shard-count invariance of the sharded construction: the factor
     values are independent of the partition (1 vs 8 shards)."""

@@ -198,3 +198,39 @@ def test_residual_replacement_honest_stopping():
     assert bool(rr.converged)
     assert true_rr < 5e-6  # honest (f32 stalls ~1e-3..1e-2 here)
     assert true_rr < true_f32 / 50
+
+
+def test_rr_grouped_matches_percycle():
+    """The round-3 group-anchored rr loop (no per-iteration cond; see
+    output/r3_prec_profile.json) must converge honestly with an
+    iteration count close to the legacy percycle variant's."""
+    import scipy.sparse as sp
+
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.dist.partition import rcm_permutation
+    from tpu_spai.native import laplacian, lumped_mass
+    from tpu_spai.solver.gsel_solver import build_gsel_csr, pcg_gsel_rr
+
+    nodes, elems = unit_box_tet(10, 10, 10)
+    a = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(1e-2 * lumped_mass(nodes, elems))
+    )
+    perm = rcm_permutation(a)
+    ap = a[perm][:, perm].tocsr()
+    ap.sort_indices()
+    n = ap.shape[0]
+    b64 = ap @ np.ones(n)
+    g = build_gsel_csr(ap, double_single=True)
+
+    res = {}
+    for mode in ("grouped", "percycle"):
+        r = pcg_gsel_rr(
+            g, jnp.asarray(b64), rtol=1e-6, max_iter=20000, impl="xla",
+            anchor=mode,
+        )
+        x = np.asarray(r.x).reshape(-1)
+        true = np.linalg.norm(ap @ x - b64) / np.linalg.norm(b64)
+        assert bool(r.converged) and true < 5e-6, (mode, true)
+        res[mode] = int(r.iters)
+    # grouped may overshoot by < one group (16) plus normal rr jitter
+    assert res["grouped"] <= res["percycle"] * 1.25 + 16, res

@@ -313,7 +313,12 @@ class _ElasticityBase(DatagenBase):
             # irregular meshes (armadillo): ball-pick the constrained
             # regions around the x-extreme points, like the reference's
             # ball-picked hands/feet (stretch_armadillo.py:104-154);
-            # radius is a fraction of the bbox diagonal
+            # radius is a fraction of the bbox diagonal.
+            # DEVIATION (noted per ADVICE r2): the reference picks FOUR
+            # regions (hands + feet) with distinct diagonal pull
+            # directions; we pick TWO at the x-extremes pulled apart
+            # along +-x — same capability class (multi-vertex ball
+            # Dirichlet regions + staged release), simpler schedule.
             diag = float(np.linalg.norm(vert.max(0) - vert.min(0)))
             r = pick_radius * diag
             lo_pt = vert[np.argmin(vert[:, 0])]

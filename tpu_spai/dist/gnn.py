@@ -24,8 +24,15 @@ multi-device scale. Design (TPU-native, no reference analog to copy):
     `PartitionedGsel` value planes that feed `dist_pcg_gsel` directly —
     construction and solve share one partition, zero host round-trips.
 
-Scalar (block_size=1) factors only for now; the BSR families expand to
-scalar CSR before the solver anyway (kernels/gsel.py).
+Block factors (block_size b > 1, the elasticity families — reference
+`nif.py:259`, edge_out = b^2): the GNN message-passes over the BLOCK
+graph (one node per b-block row), the decoder emits b^2 channels per
+block edge, and the slot maps index the FLATTENED [E_pad*b^2] decoder
+output — the scalar expansion (kernels/gsel.py single-device analog)
+happens entirely inside the slot-map gather, shard-locally. The scalar
+partition chunk is constrained to a multiple of b (chunk_multiple) so
+block rows never straddle shards, which keeps decoder values co-located
+with the scalar solve rows that need them.
 """
 
 from __future__ import annotations
@@ -65,10 +72,11 @@ class PartitionedGnnGraph:
     edge_dst: jax.Array  # i32 [P, E_pad] extended-frame row
     edge_src: jax.Array  # i32 [P, E_pad] extended-frame col
     edge_valid: jax.Array  # f32 [P, E_pad] 1 real / 0 pad
-    l_map: jax.Array  # i32 [P, S, GK', T] slot -> edge value index
+    l_map: jax.Array  # i32 [P, S, GK', T] slot -> flat edge value index
     lt_map: jax.Array  # i32 [P, S, GK', T]
-    e_pad: int = _static(default=0)
+    e_pad: int = _static(default=0)  # block-edge capacity per shard
     n_local: jax.Array = None  # i32 [P] local edge counts (diagnostics)
+    b: int = _static(default=1)  # block size (scalar matrix = b * n_blk)
 
 
 def partition_gnn_inference(
@@ -78,39 +86,70 @@ def partition_gnn_inference(
     n_shards: int,
     reorder: bool = True,
     group: int = 16,
+    block_size: int = 1,
 ) -> Tuple[PartitionedGnnGraph, np.ndarray]:
     """Partition matrix + input features for sharded GNN inference.
 
+    ``a`` is the SCALAR matrix (n = b * n_blk rows). For block_size b=1,
     ``edge_feats`` rows align with ``sp.csr_matrix(a).tocoo()`` entry
-    order (canonical CSR order); ``node_feats`` with the original row
-    order. Returns (graph, perm) with the same ordering contract as
+    order (canonical CSR order) and ``node_feats`` with the row order.
+    For b>1, features live at the BLOCK level: ``node_feats`` has one
+    row per block node and ``edge_feats`` aligns with the canonical coo
+    order of the collapsed block pattern (`(row//b, col//b)` uniqued) —
+    the order `collate`'s block graphs emit. Returns (graph, perm) with
+    perm over BLOCK nodes (b=1: plain rows), same contract as
     `partition_gsel`."""
+    b = int(block_size)
+    bb = b * b
     a = sp.csr_matrix(a, dtype=np.float64)
     a.sort_indices()
-    n = a.shape[0]
+    n_s = a.shape[0]
+    assert n_s % b == 0, (n_s, b)
+    n = n_s // b  # block nodes
     node_feats = np.asarray(node_feats, np.float32).reshape(n, -1)
-    edge_feats = np.asarray(edge_feats, np.float32).reshape(a.nnz, -1)
 
-    perm = rcm_permutation(a) if reorder else np.arange(n)
+    # block pattern (b=1: the matrix pattern itself)
+    coo_s0 = a.tocoo()
+    pat = sp.csr_matrix(
+        (np.ones(a.nnz), (coo_s0.row // b, coo_s0.col // b)), shape=(n, n)
+    )
+    pat.sum_duplicates()
+    pat.sort_indices()
+    e_blk = pat.nnz
+    edge_feats = np.asarray(edge_feats, np.float32).reshape(e_blk, -1)
+
+    perm = rcm_permutation(pat) if reorder else np.arange(n)
     # carry original edge ids through the permutation so features follow
     eid = sp.csr_matrix(
-        (np.arange(a.nnz, dtype=np.float64) + 1.0, a.indices, a.indptr),
-        shape=a.shape,
+        (np.arange(e_blk, dtype=np.float64) + 1.0, pat.indices, pat.indptr),
+        shape=pat.shape,
     )
-    ap = a[perm][:, perm].tocsr()
-    ap.sort_indices()
     eid_p = eid[perm][:, perm].tocsr()
     eid_p.sort_indices()
-    coo = ap.tocoo()  # csr order: row-major, cols sorted
-    orig_of = (eid_p.tocoo().data - 1.0).astype(np.int64)
+    coo = eid_p.tocoo()  # csr order: row-major, cols sorted
+    orig_of = (coo.data - 1.0).astype(np.int64)
     ef_p = edge_feats[orig_of]
     nf_p = node_feats[perm]
 
-    pg_a = partition_gsel_permuted(ap, n_shards, group=group)
-    chunk, halo = pg_a.chunk, pg_a.halo
-    ext = chunk + 2 * halo
+    # scalar system over the EXPANDED block pattern (explicit zeros kept:
+    # A, L and L^T must share one slot geometry even where A has a
+    # structurally-zero scalar entry inside a stored block)
+    perm_s = (perm[:, None] * b + np.arange(b)[None, :]).reshape(-1)
+    ap_s = a[perm_s][:, perm_s].tocsr()
+    ap_s.sort_indices()
+    row, col = coo.row, coo.col  # block coords, permuted frame
+    i_idx, j_idx = np.divmod(np.arange(bb), b)
+    rows_s = (row[:, None] * b + i_idx[None, :]).reshape(-1)
+    cols_s = (col[:, None] * b + j_idx[None, :]).reshape(-1)
+    vals_s = np.asarray(ap_s[rows_s, cols_s]).reshape(-1)
+    a_exp = sp.csr_matrix((vals_s, (rows_s, cols_s)), shape=(n_s, n_s))
 
-    row, col = coo.row, coo.col
+    pg_a = partition_gsel_permuted(
+        a_exp, n_shards, group=group, chunk_multiple=b
+    )
+    chunk_s, halo_s = pg_a.chunk, pg_a.halo
+    chunk, halo = chunk_s // b, halo_s // b  # block-level geometry
+
     shard_of = row // chunk
     csr_pos = np.arange(len(row))
 
@@ -129,7 +168,9 @@ def partition_gnn_inference(
     e_pad = int(
         max(len(ll) + len(gg) for ll, gg in zip(loc_lists, ghost_lists))
     )
-    assert e_pad < 2**24, "edge ids must stay f32-exact in the slot maps"
+    assert e_pad * bb + 1 < 2**24, (
+        "flat edge ids must stay f32-exact in the slot maps"
+    )
 
     fe = ef_p.shape[1]
     dst = np.zeros((n_shards, e_pad), np.int32)
@@ -137,7 +178,7 @@ def partition_gnn_inference(
     ef_s = np.zeros((n_shards, e_pad, fe), np.float32)
     ev = np.zeros((n_shards, e_pad), np.float32)
     nf_s = np.zeros((n_shards, chunk, node_feats.shape[1]), np.float32)
-    # per-shard edge-position lookup over GLOBAL coords (for lt_map)
+    # per-shard edge-position lookup over GLOBAL block coords (for lt_map)
     pos_mats = []
     for s in range(n_shards):
         sel = np.concatenate([loc_lists[s], ghost_lists[s]])
@@ -156,18 +197,25 @@ def partition_gnn_inference(
             )
         )
 
-    # L slot map: same pattern as A; data = local edge position + 1.
-    # Local edges keep csr order, so position = csr_pos - first-of-shard.
+    # L slot map over the scalar grid: the nonzero at (b*r+i, b*c+j)
+    # reads flat decoder index pos(e)*b^2 + i*b+j, where pos(e) is the
+    # block edge's position in its owner's [local|ghost] list. Local
+    # edges keep csr order, so pos = csr_pos - first-of-shard.
     first = np.zeros(n_shards, np.int64)
     for s in range(n_shards):
         first[s] = loc_lists[s][0] if len(loc_lists[s]) else 0
-    l_ids = csr_pos - first[shard_of] + 1.0
-    aid = sp.csr_matrix((l_ids, (row, col)), shape=(n, n))
-    pg_l = partition_gsel_permuted(aid, n_shards, halo=halo, group=group)
+    pos_l = (csr_pos - first[shard_of]).astype(np.float64)
+    ch = (i_idx * b + j_idx).astype(np.float64)  # [bb]
+    l_ids = (pos_l[:, None] * bb + ch[None, :] + 1.0).reshape(-1)
+    aid = sp.csr_matrix((l_ids, (rows_s, cols_s)), shape=(n_s, n_s))
+    pg_l = partition_gsel_permuted(
+        aid, n_shards, halo=halo_s, group=group, chunk_multiple=b
+    )
 
-    # L^T slot map: entry (i, j) needs the value of L[j, i] — the
-    # transposed partner's position in owner(i)'s [local|ghost] list.
-    lt_data = np.zeros(len(row))
+    # L^T slot map: scalar entry (b*r+i, b*c+j) needs L[b*c+j, b*r+i] =
+    # (block edge (c, r))[j, i] — the transposed partner's position in
+    # owner(r)'s [local|ghost] list, channel-transposed (j*b+i).
+    lt_pos = np.zeros(len(row))
     for s in range(n_shards):
         sel = loc_lists[s]
         if len(sel) == 0:
@@ -177,22 +225,26 @@ def partition_gnn_inference(
             lookup = lookup.todense()
         part = np.asarray(lookup).ravel()
         assert (part > 0).all(), "transposed partner missing from ghost set"
-        lt_data[sel] = part
-    bid = sp.csr_matrix((lt_data, (row, col)), shape=(n, n))
-    pg_lt = partition_gsel_permuted(bid, n_shards, halo=halo, group=group)
+        lt_pos[sel] = part - 1.0
+    ch_t = (j_idx * b + i_idx).astype(np.float64)
+    lt_ids = (lt_pos[:, None] * bb + ch_t[None, :] + 1.0).reshape(-1)
+    bid = sp.csr_matrix((lt_ids, (rows_s, cols_s)), shape=(n_s, n_s))
+    pg_lt = partition_gsel_permuted(
+        bid, n_shards, halo=halo_s, group=group, chunk_multiple=b
+    )
 
     for q in (pg_l, pg_lt):
         assert (
             q.k_width == pg_a.k_width
             and q.q_chunks == pg_a.q_chunks
-            and q.chunk == chunk
-            and q.halo == halo
+            and q.chunk == chunk_s
+            and q.halo == halo_s
         ), "slot-map geometry diverged from the system planes"
 
     def to_map(planes):
         v = np.asarray(planes.vals)
         m = np.rint(v).astype(np.int32) - 1
-        return jnp.asarray(np.where(m < 0, e_pad, m))
+        return jnp.asarray(np.where(m < 0, e_pad * bb, m))
 
     return (
         PartitionedGnnGraph(
@@ -206,6 +258,7 @@ def partition_gnn_inference(
             lt_map=to_map(pg_lt),
             e_pad=e_pad,
             n_local=jnp.asarray(n_loc.astype(np.int32)),
+            b=b,
         ),
         perm,
     )
@@ -250,7 +303,10 @@ def _local_forward(model, params, pgnn, nf, ef, dst, src, ev, axis=AXIS):
     overwrites)."""
     p = params["params"]
     ne, ee, mps, ed = _submodules(model)
-    chunk, halo = pgnn.pg_a.chunk, pgnn.pg_a.halo
+    # block-level geometry (scalar chunk/halo are b-multiples by
+    # construction — partition_gsel_permuted chunk_multiple=b)
+    chunk = pgnn.pg_a.chunk // pgnn.b
+    halo = pgnn.pg_a.halo // pgnn.b
     idx = jnp.stack([dst, src])
 
     x = ne.apply({"params": p["node_enc"]}, nf)  # [chunk, F]
@@ -262,7 +318,9 @@ def _local_forward(model, params, pgnn, nf, ef, dst, src, ev, axis=AXIS):
     x_ext = _halo_exchange(x, halo, axis)
     dec_in = jnp.concatenate([e, x_ext[dst], x_ext[src]], axis=-1)
     vals = ed.apply({"params": p["edge_dec"]}, dec_in)  # [E_pad, b^2]
-    return vals[:, 0] * ev  # scalar factors; padding rows forced to 0
+    if pgnn.b == 1:
+        return vals[:, 0] * ev  # scalar factors; padding rows forced to 0
+    return vals * ev[:, None]  # [E_pad, b^2]; padding rows forced to 0
 
 
 def dist_gnn_factor(
@@ -274,7 +332,10 @@ def dist_gnn_factor(
     """Sharded GNN forward -> per-edge factor values [P, E_pad]."""
     from jax.sharding import PartitionSpec as P
 
-    assert model.edge_out_features == 1, "scalar (b=1) factors only"
+    assert model.edge_out_features == pgnn.b**2, (
+        "decoder channels must equal block_size^2",
+        model.edge_out_features, pgnn.b,
+    )
 
     shard_map = _get_shard_map()
     if mesh is None:
@@ -304,11 +365,13 @@ def dist_gnn_factor(
 def factor_planes(
     pgnn: PartitionedGnnGraph, evals: jax.Array
 ) -> Tuple[PartitionedGsel, PartitionedGsel]:
-    """Decoder values [P, E_pad] -> (L, L^T) PartitionedGsel planes."""
+    """Decoder values [P, E_pad] (b=1) or [P, E_pad, b^2] -> (L, L^T)
+    PartitionedGsel planes (slot maps index the flattened channels)."""
+    flat = evals.reshape(evals.shape[0], -1)
     ev = jnp.concatenate(
-        [evals.astype(jnp.float32), jnp.zeros((evals.shape[0], 1), jnp.float32)],
+        [flat.astype(jnp.float32), jnp.zeros((flat.shape[0], 1), jnp.float32)],
         axis=1,
-    )  # sentinel zero at index e_pad
+    )  # sentinel zero at flat index e_pad * b^2
 
     def fill(m):
         return jax.vmap(lambda e, mm: e[mm])(ev, m)

@@ -104,21 +104,26 @@ def partition_gsel_permuted(
     n_shards: int,
     halo: Optional[int] = None,
     group: int = 16,
+    chunk_multiple: int = 128,
 ) -> PartitionedGsel:
     """`partition_gsel` core on an ALREADY-ordered matrix (no reordering).
 
     Shared by dist/gnn.py, which must build several operators (A, the
-    factor slot maps) over one common ordering/chunk/halo geometry."""
+    factor slot maps) over one common ordering/chunk/halo geometry.
+    ``chunk_multiple``: extra divisibility constraint on chunk and halo
+    beyond the 128-lane alignment (dist/gnn.py block factors need
+    chunk % block_size == 0 so block rows never straddle shards)."""
     ap = sp.csr_matrix(ap, dtype=np.float64).tocoo()
     n = ap.shape[0]
     bandwidth = int(np.max(np.abs(ap.row - ap.col))) if ap.nnz else 0
     # chunk and halo rounded to whole 128-lane chunks: the extended and
     # local vector frames then share chunk boundaries, which lets interior
     # tile groups run off the LOCAL vector (pre-exchange) — see s_int0/1
-    chunk = -(-(-(-n // n_shards)) // 128) * 128
+    m = int(np.lcm(128, max(1, int(chunk_multiple))))
+    chunk = -(-(-(-n // n_shards)) // m) * m
     if halo is None:
         halo = min(bandwidth, chunk)
-    halo = min(-(-halo // 128) * 128, chunk)
+    halo = min(-(-halo // m) * m, chunk)
     if bandwidth > chunk:
         raise ValueError(
             f"bandwidth {bandwidth} exceeds shard chunk {chunk}; "

@@ -734,6 +734,133 @@ _rr_run_jit = jax.jit(
 )
 
 
+def _rr_run_grouped(g_a, prec, b64, rtol_s, max_it, impl, k_inner,
+                    a_ds=False, prec_ds=False):
+    """Group-anchored residual-replacement PCG (round-3 default).
+
+    The per-iteration `lax.cond` re-anchor of _rr_run costs ~21 us/iter
+    on-chip EVEN WHEN NOT TAKEN (the branch's ds SpMV is scheduled every
+    iteration inside the while_loop — output/r3_prec_profile.json
+    abl_no_anchor_cond). Restructure: an inner while_loop runs up to
+    ``k_inner`` CHEAP iterations (recurrence residual only, no branch),
+    then the outer loop re-anchors r = b - A x with the double-single
+    SpMV and tests the TRUE residual. The inner loop also exits early
+    when the recurrence residual drops 16x below the anchor (van der
+    Vorst-Ye drift bound) or crosses tol, so anchors still happen at
+    the accuracy-critical moments; the loop can only exit on a truly
+    converged residual, as before."""
+    from ..kernels.ds import DS, ds_add, ds_axpy, ds_dot, ds_from_f64, ds_scale, ds_sub
+    from ..kernels.gsel import gsel_spmv_ds_xla
+    from ..kernels.gsel_pallas import gsel_spmv_ds_pallas
+
+    spmv_ds = gsel_spmv_ds_pallas if impl == "pallas" else gsel_spmv_ds_xla
+
+    def mv_fast(gp, v):
+        yh = gsel_matvec(gp, v.hi, impl)
+        return DS(yh, jnp.zeros_like(yh))
+
+    def mv_ds(gp, v):
+        yh, yl = spmv_ds(gp, v.hi, v.lo)
+        return DS(yh, yl)
+
+    def papply(r):
+        if prec is None:
+            return r
+        if not hasattr(prec, "l_t"):
+            return DS(prec(r.hi).astype(jnp.float32), jnp.zeros_like(r.hi))
+        if prec_ds:
+            lt = mv_ds(prec.l_t, r)
+            eps = ds_from_f64(jnp.asarray(prec.epsilon, jnp.float64))
+            eps_r = ds_scale(eps, r)
+            if prec.inv_diag is not None:
+                dg = prec.inv_diag.astype(jnp.float32)
+                lt = DS(lt.hi * dg, lt.lo * dg)
+                eps_r = DS(eps_r.hi * dg, eps_r.lo * dg)
+            return ds_add(mv_ds(prec.l_fwd, lt), eps_r)
+        lt = mv_fast(prec.l_t, r)
+        eps32 = jnp.float32(prec.epsilon)
+        if prec.inv_diag is not None:
+            dg = prec.inv_diag.astype(jnp.float32)
+            return DS(
+                gsel_matvec(prec.l_fwd, lt.hi * dg, impl) + eps32 * r.hi * dg,
+                jnp.zeros_like(r.hi),
+            )
+        return DS(
+            gsel_matvec(prec.l_fwd, lt.hi, impl) + eps32 * r.hi,
+            jnp.zeros_like(r.hi),
+        )
+
+    bds = ds_from_f64(b64)
+    bnorm2 = ds_dot(bds, bds)
+    tol2 = (rtol_s * rtol_s) * jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny)
+
+    x0 = DS(jnp.zeros_like(bds.hi), jnp.zeros_like(bds.lo))
+    r0 = bds
+    d0 = DS(jnp.zeros_like(bds.hi), jnp.zeros_like(bds.lo))
+    rn0 = ds_dot(r0, r0)
+
+    # "rotated" PCG body: the (s, delta, beta, d) tail of the classical
+    # iteration runs at the START of the next one (d0 = 0, delta0 = 1
+    # reproduces d1 = s0 exactly). The group boundary then falls between
+    # the (x, r) update and the next s = M r — precisely where the
+    # percycle variant slots its residual replacement, so anchoring
+    # changes no other state and conjugacy chains through unchanged.
+    def inner_body(st):
+        x, r, d, delta, rn2, it = st
+        s = papply(r)
+        delta_new = ds_dot(r, s)
+        beta = ds_from_f64(delta_new / delta)
+        d = ds_add(s, ds_scale(beta, d))
+        q = mv_ds(g_a, d) if a_ds else mv_fast(g_a, d)
+        dq = ds_dot(d, q)
+        alpha = ds_from_f64(delta_new / dq)
+        nalpha = DS(-alpha.hi, -alpha.lo)
+        x = ds_axpy(alpha, d, x)
+        r = ds_axpy(nalpha, q, r)
+        rn2 = ds_dot(r, r)
+        return x, r, d, delta_new, rn2, it + 1
+
+    def outer_body(st):
+        x, r, d, delta, rn2_true, it, _conv = st
+        anchor = rn2_true
+        it0 = it
+
+        def inner_cond(s2):
+            rn2, j = s2[4], s2[5]
+            return (
+                (j < it0 + k_inner)
+                & (j < max_it)
+                & (rn2 > 0.0625 * anchor)
+                & (rn2 > tol2)
+            )
+
+        x, r, d, delta, _rn2_rec, it = jax.lax.while_loop(
+            inner_cond, inner_body, (x, r, d, delta, rn2_true, it)
+        )
+        # re-anchor: TRUE residual via the double-single SpMV (the next
+        # group's first body recomputes s/delta/d from this replaced r)
+        r = ds_sub(bds, mv_ds(g_a, x))
+        rn2_true = ds_dot(r, r)
+        return x, r, d, delta, rn2_true, it, rn2_true <= tol2
+
+    def outer_cond(st):
+        rn2_true, it, conv = st[4], st[5], st[6]
+        return jnp.logical_and(~conv, it < max_it)
+
+    st = (x0, r0, d0, jnp.float64(1.0), rn0, jnp.int32(0), rn0 <= tol2)
+    x, r, _, _, rn2, iters, conv = jax.lax.while_loop(
+        outer_cond, outer_body, st
+    )
+    relres = jnp.sqrt(rn2 / jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny))
+    x64 = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+    return x64, iters, relres, conv
+
+
+_rr_grouped_jit = jax.jit(
+    _rr_run_grouped, static_argnames=("impl", "k_inner", "a_ds", "prec_ds")
+)
+
+
 def pcg_gsel_rr(
     g_a: GselPlanes,
     b: jax.Array,
@@ -743,6 +870,7 @@ def pcg_gsel_rr(
     replace_every: int = 64,
     impl: str = "pallas",
     spmv_precision: str = "f32",
+    anchor: str = "grouped",  # 'grouped' (round-3) | 'percycle' (legacy)
 ) -> CGResult:
     """Residual-replacement mixed-precision PCG: f32 iteration cost with
     HONEST fp64-grade stopping.
@@ -771,9 +899,19 @@ def pcg_gsel_rr(
     if isinstance(prec, (GselSpaiPrec, GselSpaiPrecDS)) and prec.impl != impl:
         prec = dataclasses.replace(prec, impl=impl)
     b64 = b.reshape(-1).astype(jnp.float64)
-    x64, iters, relres, conv = _rr_run_jit(
-        g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter), impl,
-        int(replace_every), a_ds=spmv_precision in ("ds", "ds_a"),
-        prec_ds=spmv_precision in ("ds", "ds_prec"),
-    )
+    a_ds = spmv_precision in ("ds", "ds_a")
+    prec_ds = spmv_precision in ("ds", "ds_prec")
+    if anchor == "grouped":
+        # round-3 default: group-anchored loop — no per-iteration branch
+        # (the legacy percycle cond cost ~21 us/iter on-chip even when
+        # the anchor was not taken; output/r3_prec_profile.json)
+        x64, iters, relres, conv = _rr_grouped_jit(
+            g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter), impl,
+            16, a_ds=a_ds, prec_ds=prec_ds,
+        )
+    else:
+        x64, iters, relres, conv = _rr_run_jit(
+            g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter), impl,
+            int(replace_every), a_ds=a_ds, prec_ds=prec_ds,
+        )
     return CGResult(x=x64, iters=iters, relres=relres, converged=conv)

@@ -300,14 +300,27 @@ def fit(
     resume = cfg.select("resume", "")
     if resume:
         rp = Path(resume)
+        looks_like_ckpt_dir = rp.is_dir() and not rp.name.startswith("epoch_")
         if rp.is_dir() and (rp / "latest.json").exists():
             rp = latest_checkpoint(rp)
         # first segment of a fresh run: resume= may point at a checkpoint
-        # dir that does not exist yet (or is empty) — start fresh instead
-        # of crashing, so segment loops can use one uniform command line
+        # dir that does not exist yet, is empty, or holds only a partial
+        # orbax tmp dir from a segment killed mid-first-save (no
+        # latest.json) — start fresh instead of crashing, so segment
+        # loops can use one uniform command line
         if (rp is None or not Path(rp).exists()
-                or (Path(rp).is_dir() and not any(Path(rp).iterdir()))):
-            log.info(f"resume: no checkpoint under {resume}; starting fresh")
+                or (looks_like_ckpt_dir
+                    and not (Path(resume) / "latest.json").exists())):
+            if (rp is not None and Path(rp).is_dir()
+                    and any(Path(rp).iterdir())):
+                log.warning(
+                    f"resume: {resume} is non-empty but has no latest.json "
+                    "(partial checkpoint from a killed segment?) — "
+                    "starting fresh"
+                )
+            else:
+                log.info(f"resume: no checkpoint under {resume}; "
+                         "starting fresh")
         else:
             params = load_checkpoint(rp, params)
             opt_state = load_opt_state(rp, opt_state)
