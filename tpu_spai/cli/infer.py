@@ -99,6 +99,23 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(int(cfg.select("seed", 42)))
 
+    # dist_shards=N (SURVEY §2.10 as a product feature): adds a
+    # "NeuralDist" row — sharded GNN construction + distributed SPAI-PCG
+    # over an N-device mesh. With one local chip the mesh is N virtual
+    # host (CPU) devices, so this must be configured before first jax
+    # backend use; on real multi-chip hardware the same dist/gnn.py path
+    # rides the chip mesh (see __graft_entry__.dryrun_multichip).
+    dist_n = int(cfg.select("dist_shards", 0))
+    if dist_n > 1:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={dist_n}"
+        )
+        jax.config.update("jax_platforms", "cpu")
+        log.info(f"dist_shards={dist_n}: CPU mesh backend forced")
+
     # restore params
     from ..data.folder import split_dataset
 
@@ -771,6 +788,84 @@ def main(argv=None):
                     res.x.block_until_ready()
                 dt = (time.perf_counter() - t0) / repeat
                 stats.put(f"PCG-{method}-tpu", dt, 0.0, float(res.iters), msize)
+
+            # fully-distributed neural row (VERDICT r2 item 10): sharded
+            # GNN construction + dist SPAI-PCG over the N-device mesh —
+            # the multi-chip capability exercised through the product CLI
+            if dist_n > 1 and workspace.name == "simple":
+                try:
+                    from jax.sharding import Mesh
+
+                    from ..dist.gnn import (
+                        dist_neural_pcg,
+                        partition_gnn_inference,
+                    )
+
+                    import scipy.sparse as _sp3
+
+                    b_sz2 = batch.block_size
+                    t0 = time.perf_counter()
+                    blocks_v2 = np.asarray(batch.graph.blocks)[:e_valid]
+                    # RAW pattern with MASKED values: the GNN must see
+                    # every stored edge, the solve the Dirichlet system
+                    # (explicit zeros kept — sparse addition would prune)
+                    a_raw = graph_to_csr(ei[:, :e_valid], blocks_v2, msize)
+                    coo_raw = a_raw.tocoo()
+                    a_dist = _sp3.csr_matrix(
+                        (
+                            np.asarray(
+                                a_csr[coo_raw.row, coo_raw.col]
+                            ).ravel(),
+                            (coo_raw.row, coo_raw.col),
+                        ),
+                        shape=(msize, msize),
+                    )
+                    a_dist.sort_indices()
+                    nfv = np.asarray(batch.x)[:n_valid].astype(np.float32)
+                    efv = (
+                        np.asarray(batch.edge_attr)[:e_valid]
+                        .astype(np.float32)
+                    )
+                    # canonical block-coo order (the partition contract)
+                    order = np.lexsort((ei[1, :e_valid], ei[0, :e_valid]))
+                    pgnn, dpm = partition_gnn_inference(
+                        a_dist, nfv, efv[order], n_shards=dist_n,
+                        block_size=b_sz2,
+                        mask_dof=np.asarray(batch.mask)[:n_valid]
+                        .reshape(-1),
+                    )
+                    prep_t = time.perf_counter() - t0
+                    dpm_s = (
+                        dpm[:, None] * b_sz2 + np.arange(b_sz2)[None, :]
+                    ).reshape(-1)
+                    bd = np.zeros(dist_n * pgnn.pg_a.chunk, np.float32)
+                    bd[:msize] = (a_csr @ r)[dpm_s]
+                    dmesh = Mesh(
+                        np.array(jax.devices()[:dist_n]), ("shards",)
+                    )
+                    # checkpoint params are committed to one device;
+                    # hand the mesh uncommitted host copies
+                    params_h = jax.tree_util.tree_map(
+                        lambda a_: np.asarray(a_), params
+                    )
+                    dist_solve = lambda: dist_neural_pcg(  # noqa: E731
+                        workspace.model, params_h, pgnn,
+                        jnp.asarray(bd.reshape(dist_n, -1)),
+                        epsilon=float(workspace.epsilon), rtol=rtol,
+                        max_iter=msize, impl="xla", mesh=dmesh,
+                    )
+                    dres = dist_solve()
+                    np.asarray(dres.x)
+                    t0 = time.perf_counter()
+                    for _ in range(repeat):
+                        dres = dist_solve()
+                        np.asarray(dres.x)
+                    dtd = (time.perf_counter() - t0) / repeat
+                    stats.put(
+                        "NeuralDist", dtd, prep_t, float(dres.iters), msize
+                    )
+                except Exception as e:  # noqa: BLE001
+                    log.warning(f"NeuralDist row skipped: {e}")
 
             if enable_cholmod:
                 t0 = time.perf_counter()

@@ -77,6 +77,12 @@ class PartitionedGnnGraph:
     e_pad: int = _static(default=0)  # block-edge capacity per shard
     n_local: jax.Array = None  # i32 [P] local edge counts (diagnostics)
     b: int = _static(default=1)  # block size (scalar matrix = b * n_blk)
+    # optional Dirichlet-mask (+ scaled-ws rsqrt) folds as slot planes:
+    # factor value' = value * scale + add (slotted_block.scalar_scale_add
+    # semantics, partitioned). None = no masking.
+    scale_f: Optional[jax.Array] = None  # f32 [P, S, GK', T]
+    scale_r: Optional[jax.Array] = None
+    add_p: Optional[jax.Array] = None
 
 
 def partition_gnn_inference(
@@ -87,8 +93,17 @@ def partition_gnn_inference(
     reorder: bool = True,
     group: int = 16,
     block_size: int = 1,
+    mask_dof: Optional[np.ndarray] = None,
+    rsqrt_dof: Optional[np.ndarray] = None,
 ) -> Tuple[PartitionedGnnGraph, np.ndarray]:
     """Partition matrix + input features for sharded GNN inference.
+
+    ``mask_dof`` (original scalar-dof order): Dirichlet mask folded into
+    the factor planes at decode time — value' = m[R] m[C] (rsqrt[..]) v
+    + (1-m[R]) on the diagonal, matching the single-device
+    `scalar_scale_add`. Pass ``a`` with the MASKED values but the RAW
+    block pattern (e.g. ``a_masked + 0 * a_raw``) so the GNN sees every
+    stored edge while the solve sees the Dirichlet system.
 
     ``a`` is the SCALAR matrix (n = b * n_blk rows). For block_size b=1,
     ``edge_feats`` rows align with ``sp.csr_matrix(a).tocoo()`` entry
@@ -246,6 +261,31 @@ def partition_gnn_inference(
         m = np.rint(v).astype(np.int32) - 1
         return jnp.asarray(np.where(m < 0, e_pad * bb, m))
 
+    # Dirichlet mask / rsqrt folds as value planes over the same geometry
+    scale_f = scale_r = add_p = None
+    if mask_dof is not None:
+        m_p = np.asarray(mask_dof, np.float64).reshape(-1)[perm_s]
+        base = m_p[rows_s] * m_p[cols_s]
+        if rsqrt_dof is not None:
+            rs_p = np.asarray(rsqrt_dof, np.float64).reshape(-1)[perm_s]
+            sf_d = base * rs_p[cols_s]
+            sr_d = base * rs_p[rows_s]
+        else:
+            sf_d = sr_d = base
+        add_d = np.where(rows_s == cols_s, 1.0 - m_p[rows_s], 0.0)
+
+        def part_vals(data):
+            pg = partition_gsel_permuted(
+                sp.csr_matrix((data, (rows_s, cols_s)), shape=(n_s, n_s)),
+                n_shards, halo=halo_s, group=group, chunk_multiple=b,
+            )
+            assert pg.k_width == pg_a.k_width and pg.chunk == chunk_s
+            return pg.vals
+
+        scale_f = part_vals(sf_d)
+        scale_r = part_vals(sr_d)
+        add_p = part_vals(add_d)
+
     return (
         PartitionedGnnGraph(
             pg_a=pg_a,
@@ -259,6 +299,9 @@ def partition_gnn_inference(
             e_pad=e_pad,
             n_local=jnp.asarray(n_loc.astype(np.int32)),
             b=b,
+            scale_f=scale_f,
+            scale_r=scale_r,
+            add_p=add_p,
         ),
         perm,
     )
@@ -376,8 +419,13 @@ def factor_planes(
     def fill(m):
         return jax.vmap(lambda e, mm: e[mm])(ev, m)
 
-    pl = dataclasses.replace(pgnn.pg_a, vals=fill(pgnn.l_map))
-    plt = dataclasses.replace(pgnn.pg_a, vals=fill(pgnn.lt_map))
+    vf = fill(pgnn.l_map)
+    vr = fill(pgnn.lt_map)
+    if pgnn.scale_f is not None:
+        vf = vf * pgnn.scale_f + pgnn.add_p
+        vr = vr * pgnn.scale_r + pgnn.add_p
+    pl = dataclasses.replace(pgnn.pg_a, vals=vf)
+    plt = dataclasses.replace(pgnn.pg_a, vals=vr)
     return pl, plt
 
 

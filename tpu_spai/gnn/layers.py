@@ -192,6 +192,100 @@ class MPLayer(nn.Module):
         return node_out, edge_out
 
 
+class _MPScanBody(nn.Module):
+    """nn.scan body wrapping one MPLayer: carry = (x, e, edge_index,
+    edge_weight). Stacked params live under ``mp_scan/mp`` with a
+    leading layer axis (see {stack,unstack}_mp_params)."""
+
+    node_channels: int
+    edge_channels: int
+    node_residual: bool = True
+    edge_residual: bool = True
+    node_mlp: Optional[dict] = None
+    edge_mlp: Optional[dict] = None
+    msg_mlp: Optional[dict] = None
+    aggr: str = "add"
+    msg_norm: bool = False
+    weight_init: str = "lecun"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, carry, _xs):
+        x, e, edge_index, edge_weight = carry
+        cls = nn.remat(MPLayer) if self.remat else MPLayer
+        x, e = cls(
+            node_channels=self.node_channels,
+            edge_channels=self.edge_channels,
+            node_residual=self.node_residual,
+            edge_residual=self.edge_residual,
+            node_mlp=self.node_mlp,
+            edge_mlp=self.edge_mlp,
+            msg_mlp=self.msg_mlp,
+            aggr=self.aggr,
+            msg_norm=self.msg_norm,
+            weight_init=self.weight_init,
+            name="mp",
+        )(x, edge_index, e, edge_weight)
+        return (x, e, edge_index, edge_weight), None
+
+
+def _walk_convert(tree, fn):
+    """Apply fn to every dict node in a nested params/opt-state tree
+    (NamedTuples/tuples/lists recursed; fn sees dicts bottom-up)."""
+    if isinstance(tree, dict):
+        return fn({k: _walk_convert(v, fn) for k, v in tree.items()})
+    if hasattr(tree, "_fields"):  # NamedTuple (optax states)
+        return type(tree)(*(_walk_convert(v, fn) for v in tree))
+    if isinstance(tree, (tuple, list)):
+        return type(tree)(_walk_convert(v, fn) for v in tree)
+    return tree
+
+
+def stack_mp_params(tree):
+    """Layered checkpoint format (mp_0..mp_{L-1}) -> nn.scan format
+    (mp_scan/mp with leading layer axis). Works on params AND optax
+    state trees (any dict holding the layered keys)."""
+    import numpy as np
+
+    def fn(d):
+        mps = sorted(
+            (k for k in d if k.startswith("mp_") and k[3:].isdigit()),
+            key=lambda k: int(k[3:]),
+        )
+        if not mps:
+            return d
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[d[k] for k in mps],
+        )
+        out = {k: v for k, v in d.items() if k not in mps}
+        out["mp_scan"] = {"mp": stacked}
+        return out
+
+    return _walk_convert(tree, fn)
+
+
+def unstack_mp_params(tree):
+    """nn.scan format -> layered checkpoint format (the on-disk
+    convention: every committed checkpoint stays loadable by layered
+    models and the slotted/dist inference paths)."""
+    import numpy as np
+
+    def fn(d):
+        if "mp_scan" not in d or not isinstance(d["mp_scan"], dict):
+            return d
+        stacked = d["mp_scan"]["mp"]
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        out = {k: v for k, v in d.items() if k != "mp_scan"}
+        for i in range(n):
+            out[f"mp_{i}"] = jax.tree_util.tree_map(
+                lambda x, i=i: np.asarray(x)[i], stacked
+            )
+        return out
+
+    return _walk_convert(tree, fn)
+
+
 class NodeEdgeProcessing(nn.Module):
     """Encode-process-decode GNN producing per-edge block entries.
 
@@ -223,6 +317,13 @@ class NodeEdgeProcessing(nn.Module):
     # layer's worth, at ~1/3 extra forward FLOPs — the TPU-idiomatic
     # memory/compute trade for large variable-topology batches.
     remat: bool = False
+    # nn.scan over the MP layers: one traced/compiled layer body instead
+    # of num_mp_layers inlined copies — shrinks the training-step program
+    # ~L-fold (the round-1k "3x sum-of-parts" step overhead was program-
+    # scheduling cost that grows with program size). Param tree gains a
+    # stacked `mp_scan/mp` subtree; checkpoints stay in the layered
+    # format on disk ({stack,unstack}_mp_params convert on save/load).
+    scan_mp: bool = False
 
     def _ff_kwargs(self, cfg: Optional[dict]) -> dict:
         return {"weight_init": self.weight_init, **(cfg or {})}
@@ -240,9 +341,14 @@ class NodeEdgeProcessing(nn.Module):
             name="edge_enc",
         )(edge_attr)
 
-        mp_cls = nn.remat(MPLayer) if self.remat else MPLayer
-        for i in range(self.num_mp_layers):
-            x, e = mp_cls(
+        if self.scan_mp and self.num_mp_layers > 0:
+            scan_cls = nn.scan(
+                _MPScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.num_mp_layers,
+            )
+            (x, e, _, _), _ = scan_cls(
                 node_channels=self.node_features,
                 edge_channels=self.edge_features,
                 node_residual=self.node_residual,
@@ -253,8 +359,25 @@ class NodeEdgeProcessing(nn.Module):
                 aggr=self.aggr,
                 msg_norm=self.msg_norm,
                 weight_init=self.weight_init,
-                name=f"mp_{i}",
-            )(x, edge_index, e, edge_weight)
+                remat=self.remat,
+                name="mp_scan",
+            )((x, e, edge_index, edge_weight), None)
+        else:
+            mp_cls = nn.remat(MPLayer) if self.remat else MPLayer
+            for i in range(self.num_mp_layers):
+                x, e = mp_cls(
+                    node_channels=self.node_features,
+                    edge_channels=self.edge_features,
+                    node_residual=self.node_residual,
+                    edge_residual=self.edge_residual,
+                    node_mlp=self.node_mlp,
+                    edge_mlp=self.edge_mlp,
+                    msg_mlp=self.msg_mlp,
+                    aggr=self.aggr,
+                    msg_norm=self.msg_norm,
+                    weight_init=self.weight_init,
+                    name=f"mp_{i}",
+                )(x, edge_index, e, edge_weight)
 
         edge_dec_in = jnp.concatenate(
             [e, x[edge_index[0]], x[edge_index[1]]], axis=-1

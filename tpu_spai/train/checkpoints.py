@@ -22,7 +22,24 @@ def _ckptr():
     return ocp.StandardCheckpointer()
 
 
+def _has_scan(tree) -> bool:
+    if isinstance(tree, dict):
+        return "mp_scan" in tree or any(_has_scan(v) for v in tree.values())
+    if hasattr(tree, "_fields") or isinstance(tree, (tuple, list)):
+        return any(_has_scan(v) for v in tree)
+    return False
+
+
 def save_checkpoint(ckpt_dir, epoch: int, params, cfg=None, opt_state=None) -> Path:
+    # on-disk convention: ALWAYS the layered (mp_0..mp_{L-1}) format, so
+    # every checkpoint loads into layered models, scan_mp models, and
+    # the slotted/dist inference paths alike
+    from ..gnn.layers import unstack_mp_params
+
+    if _has_scan(params):
+        params = unstack_mp_params(params)
+    if opt_state is not None and _has_scan(opt_state):
+        opt_state = unstack_mp_params(opt_state)
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = (ckpt_dir / f"epoch_{epoch:04d}").resolve()
@@ -48,22 +65,36 @@ def latest_checkpoint(ckpt_dir) -> Optional[Path]:
 
 def load_checkpoint(path, example_params) -> Any:
     """Restore params; `example_params` provides the tree structure/shapes
-    (e.g. from `workspace.init_params` on one batch)."""
+    (e.g. from `workspace.init_params` on one batch). A scan_mp example
+    is transparently restored from the layered on-disk format."""
     import orbax.checkpoint as ocp
 
+    from ..gnn.layers import stack_mp_params, unstack_mp_params
+
     path = Path(path).resolve()
+    scan = _has_scan(example_params)
+    if scan:
+        example_params = unstack_mp_params(example_params)
     target = jax.tree_util.tree_map(
         lambda x: ocp.utils.to_shape_dtype_struct(x), example_params
     )
-    return _ckptr().restore(path, target)
+    restored = _ckptr().restore(path, target)
+    return stack_mp_params(restored) if scan else restored
 
 
 def load_opt_state(path, example_opt_state) -> Any:
-    """Restore optimizer state saved next to a params checkpoint."""
+    """Restore optimizer state saved next to a params checkpoint (same
+    layered-on-disk convention as load_checkpoint)."""
     import orbax.checkpoint as ocp
 
+    from ..gnn.layers import stack_mp_params, unstack_mp_params
+
     path = Path(str(Path(path).resolve()) + "_opt")
+    scan = _has_scan(example_opt_state)
+    if scan:
+        example_opt_state = unstack_mp_params(example_opt_state)
     target = jax.tree_util.tree_map(
         lambda x: ocp.utils.to_shape_dtype_struct(x), example_opt_state
     )
-    return _ckptr().restore(path, target)
+    restored = _ckptr().restore(path, target)
+    return stack_mp_params(restored) if scan else restored

@@ -52,6 +52,7 @@ def _gnn_kwargs(gnn_cfg: dict) -> dict:
         msg_norm=bool(c.get("msg_norm", False)),
         aggr=c.get("aggr", "add"),
         remat=bool(c.get("remat", False)),
+        scan_mp=bool(c.get("scan_mp", False)),
         # 'torch' = the reference's Linear reset (kaiming-uniform a=sqrt(5)
         # + uniform bias); 'lecun' = flax default (round-1 divergence)
         weight_init=c.get("weight_init", "lecun"),
