@@ -104,14 +104,19 @@ def ds_axpy(a: DS, x: DS, y: DS) -> DS:
 
 def ds_dot(x: DS, y: DS):
     """<x, y> -> f64 scalar: TwoProd per element, compensated (error-free
-    pairwise TwoSum tree) partial sums within 128-lane chunks, exact f64
-    combination of partials.
+    pairwise TwoSum tree) partial sums, exact f64 combination of the
+    last 128-lane row of partials.
 
     The earlier plain-f32 chunk head sums left ~128*2^-24 relative error
     per chunk — f32-grade alpha/beta scalars inside the otherwise
     fp64-grade ds CG loop. The TwoSum tree keeps the head partials exact
-    to ~2^-48 (errors recombined through the f64 channel), restoring
-    fp64-grade dots at ~7 extra VPU ops/element."""
+    to ~2^-48 (errors recombined through the f64 channel).
+
+    Layout note (round 3): the halving pairs CONTIGUOUS ROW HALVES of a
+    [M, 128] view — contiguous sublane slices, no lane shuffles. The
+    previous in-lane even/odd split (`p[:, ::2]`) cost 7 rounds of
+    lane-strided gathers; measured ~9 us/dot at n=9k where the whole CG
+    body is ~35 us (output/r3_prec_profile.json op_ds_dot_us)."""
     p, e = two_prod(x.hi.ravel(), y.hi.ravel())
     e = e + x.hi.ravel() * y.lo.ravel() + x.lo.ravel() * y.hi.ravel()
     pad = (-p.shape[0]) % 128
@@ -119,10 +124,16 @@ def ds_dot(x: DS, y: DS):
         p = jnp.pad(p, (0, pad))
         e = jnp.pad(e, (0, pad))
     p = p.reshape(-1, 128)
-    err = jnp.sum(e.reshape(-1, 128), axis=1)  # tiny terms: f32 sum is fine
-    while p.shape[1] > 1:  # pairwise TwoSum halving: 7 rounds for 128 lanes
-        s, t = two_sum(p[:, ::2], p[:, 1::2])
-        err = err + jnp.sum(t, axis=1)
+    err = jnp.sum(e.reshape(-1, 128))  # tiny terms: f32 sum is fine
+    while p.shape[0] > 1:  # pairwise TwoSum halving over row halves
+        m = p.shape[0]
+        h = (m + 1) // 2
+        if m % 2:
+            p = jnp.concatenate([p, jnp.zeros((1, 128), p.dtype)], axis=0)
+        s, t = two_sum(p[:h], p[h:])
+        err = err + jnp.sum(t)
         p = s
-    return jnp.sum(p[:, 0].astype(jnp.float64)) + jnp.sum(
-        err.astype(jnp.float64))
+    # exact f64 fold of the final 128 partials (exponent range of f32
+    # fits f64, so the cast and the 128-term sum are exact in f64 up to
+    # one rounding per add at 2^-53 — beyond the 2^-48 ds target)
+    return jnp.sum(p[0].astype(jnp.float64)) + err.astype(jnp.float64)

@@ -98,6 +98,7 @@ def check_convergence(
     max_iter: int = 0,
     prefix: str = "Val",
     eps_sweep: Sequence[float] = (),
+    check_devices: Sequence[str] = ("cpu", "tpu"),
 ) -> Dict[str, float]:
     """Convergence oracle on a (single-sample) batch — the de-facto
     correctness metric of the whole project (workspace.py:114-170).
@@ -153,17 +154,21 @@ def check_convergence(
                 a_csr, r, l_csr, e, rtol=rtol, max_iter=max_iter
             )
             stats[f"{prefix}/cpu_neural_iter_eps{e:g}"] = it_e
-        # device-side PCG with the same factor
-        ga = csr_to_graph(a_csr)
-        gl = csr_to_graph(l_csr)
-        res = pcg(
-            ga,
-            jnp.asarray(a_csr @ r),
-            prec=spai_prec(gl, epsilon),
-            rtol=rtol,
-            max_iter=max_iter,
-        )
-        stats[f"{prefix}/tpu_neural_iter"] = float(res.iters)
+        # device-side PCG with the same factor — gated on check_devices
+        # (config `check_devices: [cpu]` must actually skip it: the b=3
+        # armadillo-scale device solve kernel-faults the shared worker,
+        # round-3 queue1 log)
+        if "tpu" in check_devices:
+            ga = csr_to_graph(a_csr)
+            gl = csr_to_graph(l_csr)
+            res = pcg(
+                ga,
+                jnp.asarray(a_csr @ r),
+                prec=spai_prec(gl, epsilon),
+                rtol=rtol,
+                max_iter=max_iter,
+            )
+            stats[f"{prefix}/tpu_neural_iter"] = float(res.iters)
     else:  # triangular-solve validation (NeuralPCG/NIF, nif.py:106-131)
         from ..solver.host_baselines import get_pcg_ichol_iter_time
         import scipy.sparse as sp
@@ -451,6 +456,9 @@ def fit(
                         cfg.select("check_methods", ["none", "diagonal"]),
                         epsilon=float(cfg.epsilon),
                         max_iter=int(cfg.select("test_max_iter", 1000)),
+                        check_devices=tuple(
+                            cfg.select("check_devices", ["cpu", "tpu"])
+                        ),
                     )
                     metrics.log(stats, step=step, epoch=epoch)
                     log.info(
@@ -487,6 +495,7 @@ def evaluate(workspace, dataset, params, cfg, indices=None, prefix="Test"):
             epsilon=float(cfg.epsilon),
             max_iter=int(cfg.select("test_max_iter", 1000)),
             prefix=prefix,
+            check_devices=tuple(cfg.select("check_devices", ["cpu", "tpu"])),
         )
         _, dt = timed_inference(workspace, params, batch)
         stats[f"{prefix}/time_neural_prec"] = dt
