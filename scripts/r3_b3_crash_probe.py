@@ -13,6 +13,11 @@ under timeout, when nothing else is queued.
 
 import sys
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

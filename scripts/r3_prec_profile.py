@@ -23,6 +23,11 @@ import sys
 import time
 from functools import partial
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

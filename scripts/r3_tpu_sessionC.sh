@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-3 TPU session C (run after r3_tpu_queue2.sh drains):
+# - rds tier re-measure with the compensated ds_dot (VERDICT item 9)
+# - device-IC A/B artifact (VERDICT item 6)
+# - third roofline session sample (VERDICT item 5 spread)
+# - final benchmark
+set -u
+cd "$(dirname "$0")/.."
+LOG=output/r3_sessionC.log
+mkdir -p output
+q() {
+  echo "=== $(date +%H:%M:%S) $*" >> "$LOG"
+  "$@" >> "$LOG" 2>&1
+  echo "=== rc=$? $(date +%H:%M:%S)" >> "$LOG"
+}
+
+# re-runs from session A (failed there on a path bootstrap bug)
+q timeout 1800 python scripts/r3_prec_profile.py
+q timeout 1800 python scripts/r3_scan_step_ab.py
+
+q timeout 2700 python scripts/rds_study.py tpu=1 max_samples=4 \
+  out=output/rds_study_tpu.csv
+
+q timeout 1800 python scripts/ic_device_ab.py
+
+q timeout 900 python scripts/spmv_roofline.py \
+  --out output/roofline/session_r3c.json
+
+q timeout 2700 python bench.py
+
+echo "=== SESSION C DONE $(date +%H:%M:%S)" >> "$LOG"
