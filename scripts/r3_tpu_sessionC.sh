@@ -28,4 +28,13 @@ q timeout 900 python scripts/spmv_roofline.py \
 
 q timeout 2700 python bench.py
 
+# armadillo device rows: the gsel/pallas path is crash-probe-verified at
+# this scale (r3_sessionA.log probes all pass; only the legacy
+# graph-form XLA path faults). use_windowed=true keeps the fallback off.
+q timeout 5400 python -m tpu_spai.cli.infer exp_name=stretch_armadillo \
+  data.block_size=3 workspace=scaled \
+  'check_methods=[none,diagonal]' \
+  pretrained=outputs/stretch_armadillo/checkpoints max_samples=2 repeat=1 \
+  warmup=1 out_dir=output/stretch_armadillo_dev
+
 echo "=== SESSION C DONE $(date +%H:%M:%S)" >> "$LOG"

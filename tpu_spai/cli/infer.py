@@ -106,15 +106,22 @@ def main(argv=None):
     # backend use; on real multi-chip hardware the same dist/gnn.py path
     # rides the chip mesh (see __graft_entry__.dryrun_multichip).
     dist_n = int(cfg.select("dist_shards", 0))
-    if dist_n > 1:
+    # backend=cpu: host-baseline-only runs with NO device contact — for
+    # problem scales where a device path faults the shared TPU worker
+    # (armadillo b=3; see r3_sessionA.log) the host rows must still land
+    host_only = str(cfg.select("backend", "")) == "cpu"
+    if dist_n > 1 or host_only:
         import os
 
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={dist_n}"
-        )
+        if dist_n > 1:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={dist_n}"
+            )
         jax.config.update("jax_platforms", "cpu")
-        log.info(f"dist_shards={dist_n}: CPU mesh backend forced")
+        log.info(
+            f"CPU backend forced ({'dist mesh' if dist_n > 1 else 'host-only'})"
+        )
 
     # restore params
     from ..data.folder import split_dataset
@@ -211,7 +218,7 @@ def main(argv=None):
             # graph-form XLA solve that used to fill this row is ~50x
             # slower per iteration — solver/cg.pcg with spmv_xla — and is
             # still covered by tests/test_cg.py.)
-            if bool(cfg.select("use_windowed", True)):
+            if bool(cfg.select("use_windowed", True)) and not host_only:
                 try:
                     from ..dist.partition import rcm_permutation
                     from ..solver import (
@@ -771,23 +778,34 @@ def main(argv=None):
 
             # fallback: graph-form XLA device solve for the SpMV-only
             # methods when the gsel section didn't fill them (unbandable
-            # pattern or use_windowed=false)
+            # pattern or use_windowed=false). Wrapped per-row: this legacy
+            # path faults the shared worker at armadillo scale (b=3,
+            # n=17,454 — r3_sessionA.log), and a dead device must not
+            # abort the run before the host rows are written.
             for method in ("none", "diagonal"):
-                if method not in check_methods or method in _dev_simple_done:
+                if (method not in check_methods
+                        or method in _dev_simple_done or host_only):
                     continue
-                from ..solver import jacobi_prec
+                try:
+                    from ..solver import jacobi_prec
 
-                ga = csr_to_graph(a_csr)
-                b_dev = jnp.asarray(a_csr @ r)
-                pr = None if method == "none" else jacobi_prec(ga)
-                res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-                res.x.block_until_ready()
-                t0 = time.perf_counter()
-                for _ in range(repeat):
+                    ga = csr_to_graph(a_csr)
+                    b_dev = jnp.asarray(a_csr @ r)
+                    pr = None if method == "none" else jacobi_prec(ga)
                     res = pcg(ga, b_dev, prec=pr, rtol=rtol, max_iter=msize)
-                    res.x.block_until_ready()
-                dt = (time.perf_counter() - t0) / repeat
-                stats.put(f"PCG-{method}-tpu", dt, 0.0, float(res.iters), msize)
+                    np.asarray(res.x)
+                    t0 = time.perf_counter()
+                    for _ in range(repeat):
+                        res = pcg(
+                            ga, b_dev, prec=pr, rtol=rtol, max_iter=msize
+                        )
+                        np.asarray(res.x)
+                    dt = (time.perf_counter() - t0) / repeat
+                    stats.put(
+                        f"PCG-{method}-tpu", dt, 0.0, float(res.iters), msize
+                    )
+                except Exception as e:  # noqa: BLE001
+                    log.error(f"graph-form {method} device row failed: {e}")
 
             # fully-distributed neural row (VERDICT r2 item 10): sharded
             # GNN construction + dist SPAI-PCG over the N-device mesh —
