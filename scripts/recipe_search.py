@@ -47,6 +47,19 @@ VARIANTS = {
         "w64": ["gnn_features=64"],
         "mp8": ["gnn.num_mp_layers=8"],
     },
+    # round-3: only the NEW levers (base = the known round-2 recipe);
+    # depth first — the family is pure-algebra, locality-free
+    "synthetic_r3": {
+        "mp8": ["gnn.num_mp_layers=8"],
+        "w64": ["gnn_features=64"],
+    },
+    # round-3: heat_tetmesh second attempt (w64_g999 gave 32.3 = w48)
+    "heat_final2": {
+        "w48_mp8": [
+            "scheduler.params.gamma=0.9975", "gnn_features=48",
+            "gnn.num_mp_layers=8",
+        ],
+    },
 }
 
 FAMILIES = {
