@@ -28,6 +28,13 @@ q timeout 900 python scripts/spmv_roofline.py \
 
 q timeout 2700 python bench.py
 
+# bunny w48 device rows (the first run predated the fused->pallas
+# VMEM fallback; host rows are already in output/heat_bunny_w48)
+q timeout 2400 python -m tpu_spai.cli.infer exp_name=heat_bunny \
+  gnn_features=48 'check_methods=[]' \
+  pretrained=outputs/heat_bunny_w48/checkpoints max_samples=2 repeat=2 \
+  warmup=1 out_dir=output/heat_bunny_w48_dev
+
 # armadillo device rows: the gsel/pallas path is crash-probe-verified at
 # this scale (r3_sessionA.log probes all pass; only the legacy
 # graph-form XLA path faults). use_windowed=true keeps the fallback off.

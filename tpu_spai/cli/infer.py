@@ -639,10 +639,25 @@ def main(argv=None):
                                     break
                                 except jax.errors.JaxRuntimeError as exc:
                                     gcur = layout.sg.pattern.group
-                                    if (
-                                        "Scoped allocation" not in str(exc)
-                                        or gcur <= 1
-                                    ):
+                                    if "Scoped allocation" not in str(exc):
+                                        raise
+                                    if gcur <= 1:
+                                        # fused kernel cannot fit even one
+                                        # tile group (wide GNNs, w48+):
+                                        # fall back to the unfused gather
+                                        # kernel + XLA MLP planes
+                                        if sc.gnn_impl == "fused":
+                                            log.info(
+                                                "fused GNN VMEM-bound at "
+                                                "group=1; falling back to "
+                                                "impl=pallas"
+                                            )
+                                            sc = make_slot_constructor(
+                                                layout, params, batch,
+                                                bperm, scaled, impl,
+                                                gnn_impl="pallas",
+                                            )
+                                            continue
                                         raise
                                     layout = build_block_slot_layout(
                                         bpos[ei_v[0]], bpos[ei_v[1]],

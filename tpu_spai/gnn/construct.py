@@ -157,7 +157,8 @@ class SlotConstructor:
 
 def make_slot_constructor(layout: BlockSlotLayout, params, batch,
                           bperm: np.ndarray, scaled: bool,
-                          impl: str) -> SlotConstructor:
+                          impl: str, gnn_impl: Optional[str] = None
+                          ) -> SlotConstructor:
     """Assemble per-sample operands for the fused constructor (the same
     host prep as cli/infer.py's slot path: permuted node feats, slot-
     scattered edge feats, mask/scale planes)."""
@@ -179,7 +180,8 @@ def make_slot_constructor(layout: BlockSlotLayout, params, batch,
     e_r = slot_scatter(sgb, ea_v, reverse=True)
     sf, af, sr, ar = scalar_scale_add(layout, m_dof, rsq)
     bb = batch.block_size * batch.block_size
-    gnn_impl = "fused" if impl == "pallas" else impl
+    if gnn_impl is None:
+        gnn_impl = "fused" if impl == "pallas" else impl
     return SlotConstructor(
         layout, params, xp, e_f, e_r, sf, af, sr, ar, gnn_impl, bb
     )
