@@ -35,6 +35,15 @@ q timeout 2400 python -m tpu_spai.cli.infer exp_name=heat_bunny \
   pretrained=outputs/heat_bunny_w48/checkpoints max_samples=2 repeat=2 \
   warmup=1 out_dir=output/heat_bunny_w48_dev
 
+# heat_r20 w48 device rows (same reason)
+q timeout 2400 python -m tpu_spai.cli.infer exp_name=heat_r20 \
+  gnn_features=48 \
+  data.is_fixed_topology=true data.has_shared_features=true \
+  data.use_node_features=true data.use_mask_as_node_feature=true \
+  data.load_into_memory=true 'check_methods=[]' \
+  pretrained=outputs/heat_r20_w48/checkpoints max_samples=2 repeat=2 \
+  warmup=1 out_dir=output/heat_r20_w48_dev
+
 # armadillo device rows: the gsel/pallas path is crash-probe-verified at
 # this scale (r3_sessionA.log probes all pass; only the legacy
 # graph-form XLA path faults). use_windowed=true keeps the fallback off.

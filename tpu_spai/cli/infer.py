@@ -639,7 +639,16 @@ def main(argv=None):
                                     break
                                 except jax.errors.JaxRuntimeError as exc:
                                     gcur = layout.sg.pattern.group
-                                    if "Scoped allocation" not in str(exc):
+                                    # VMEM OOM surfaces either with the
+                                    # full "Scoped allocation" text or,
+                                    # when the remote-compile helper dies,
+                                    # as a bare HTTP 500 — treat both as
+                                    # retry-to-smaller/unfused
+                                    retryable = (
+                                        "Scoped allocation" in str(exc)
+                                        or "remote_compile" in str(exc)
+                                    )
+                                    if not retryable:
                                         raise
                                     if gcur <= 1:
                                         # fused kernel cannot fit even one
