@@ -69,7 +69,7 @@ def main():
                     "num_layers": 2},
         "remat": True,
     }
-    loss_cfg = {"name": "right_inv", "params": {}}
+    loss_cfg = {"name": "RelativeL2Loss_ANorm", "params": {}}
 
     out = {"edges_padded": e_pad}
     for scan in (False, True):

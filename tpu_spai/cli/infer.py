@@ -630,6 +630,7 @@ def main(argv=None):
                             sc = make_slot_constructor(
                                 layout, params, batch, bperm, scaled, impl
                             )
+                            fell_back = False
                             while True:
                                 try:
                                     vf, vr = sc.construct()
@@ -637,47 +638,51 @@ def main(argv=None):
                                     # (block_until_ready is a relay no-op)
                                     np.asarray(vf.ravel()[0])
                                     break
-                                except jax.errors.JaxRuntimeError as exc:
-                                    gcur = layout.sg.pattern.group
-                                    # VMEM OOM surfaces either with the
-                                    # full "Scoped allocation" text or,
-                                    # when the remote-compile helper dies,
-                                    # as a bare HTTP 500 — treat both as
-                                    # retry-to-smaller/unfused
+                                except Exception as exc:  # noqa: BLE001
+                                    # VMEM OOM surfaces as "Scoped
+                                    # allocation", as a bare HTTP 500
+                                    # when the remote-compile helper
+                                    # dies, or RESOURCE_EXHAUSTED —
+                                    # retry smaller, then unfused
+                                    s_exc = str(exc)
                                     retryable = (
-                                        "Scoped allocation" in str(exc)
-                                        or "remote_compile" in str(exc)
+                                        "Scoped allocation" in s_exc
+                                        or "remote_compile" in s_exc
+                                        or "RESOURCE_EXHAUSTED" in s_exc
                                     )
-                                    if not retryable:
+                                    if not retryable or fell_back:
                                         raise
-                                    if gcur <= 1:
-                                        # fused kernel cannot fit even one
-                                        # tile group (wide GNNs, w48+):
-                                        # fall back to the unfused gather
-                                        # kernel + XLA MLP planes
-                                        if sc.gnn_impl == "fused":
-                                            log.info(
-                                                "fused GNN VMEM-bound at "
-                                                "group=1; falling back to "
-                                                "impl=pallas"
-                                            )
-                                            sc = make_slot_constructor(
-                                                layout, params, batch,
-                                                bperm, scaled, impl,
-                                                gnn_impl="pallas",
-                                            )
-                                            continue
-                                        raise
-                                    layout = build_block_slot_layout(
-                                        bpos[ei_v[0]], bpos[ei_v[1]],
-                                        n_blk, b_sz,
-                                        group=max(1, gcur // 2),
-                                        window=layout.sg.pattern.window,
-                                    )
-                                    sc = make_slot_constructor(
-                                        layout, params, batch, bperm,
-                                        scaled, impl,
-                                    )
+                                    gcur = layout.sg.pattern.group
+                                    nxt = None
+                                    if sc.gnn_impl == "fused" and gcur > 1:
+                                        nxt = build_block_slot_layout(
+                                            bpos[ei_v[0]], bpos[ei_v[1]],
+                                            n_blk, b_sz,
+                                            group=max(1, gcur // 2),
+                                            window=layout.sg.pattern
+                                            .window,
+                                        )
+                                    if nxt is not None:
+                                        layout = nxt
+                                        sc = make_slot_constructor(
+                                            layout, params, batch, bperm,
+                                            scaled, impl,
+                                        )
+                                    else:
+                                        # wide GNNs (w48+) exceed the
+                                        # fused kernel's VMEM even at
+                                        # group=1: unfused gather kernel
+                                        # + XLA MLP planes
+                                        log.info(
+                                            "fused GNN VMEM-bound; "
+                                            "falling back to impl=pallas"
+                                        )
+                                        sc = make_slot_constructor(
+                                            layout, params, batch, bperm,
+                                            scaled, impl,
+                                            gnn_impl="pallas",
+                                        )
+                                        fell_back = True
                             sg_b = layout.sg
                             s_sys, a_sys, _, _ = scalar_scale_add(
                                 layout, m_dof, None
