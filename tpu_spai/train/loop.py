@@ -328,8 +328,28 @@ def fit(
                          "starting fresh")
         else:
             params = load_checkpoint(rp, params)
-            opt_state = load_opt_state(rp, opt_state)
             start_epoch = int(str(rp.name).split("_")[-1]) + 1
+            try:
+                opt_state = load_opt_state(rp, opt_state)
+            except FileNotFoundError:
+                # params-only checkpoint (the `_opt` sibling was pruned,
+                # e.g. only the best-epoch params were kept): warm-restart
+                # with fresh Adam moments but fast-forward every optax
+                # step counter so the LR schedule resumes at the right
+                # position instead of back at lr0.
+                step = start_epoch * steps_per_epoch
+
+                def _ff(x):
+                    if (hasattr(x, "dtype") and x.ndim == 0
+                            and jnp.issubdtype(x.dtype, jnp.integer)):
+                        return jnp.asarray(step, x.dtype)
+                    return x
+
+                opt_state = jax.tree_util.tree_map(_ff, opt_state)
+                log.warning(
+                    f"resume: no optimizer state next to {rp} — fresh "
+                    f"Adam moments, schedule fast-forwarded to step {step}"
+                )
             # fresh shuffling stream per segment (else every segment
             # replays the same batch-order sequence)
             rng = np.random.default_rng(seed + start_epoch)
