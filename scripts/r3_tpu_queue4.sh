@@ -24,7 +24,7 @@ q() {
 }
 
 for i in 1 2 3 4; do
-  q timeout 1200 python -m tpu_spai.cli.train exp_name=heat_bunny \
+  q timeout 1500 python -m tpu_spai.cli.train exp_name=heat_bunny \
     gnn_features=48 scheduler.params.gamma=0.9975 gnn.weight_init=torch \
     trainer.max_epochs=800 trainer.epochs_per_run=80 \
     trainer.check_val_every_n_epoch=2000 checkpoint.every_n_epochs=20 \
