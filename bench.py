@@ -149,16 +149,34 @@ def main():
     log(f"relay per-dispatch floor: {relay_ms:.1f} ms")
 
     # ---- 1) measured isolated SpMV roofline (items VERDICT-1) ----------
-    from tpu_spai.bench.roofline import spmv_roofline_row
+    # roofline_frac_normalized = spmv_gbps / co-measured STREAM gbps:
+    # phase-invariant on the shared worker (VERDICT r4 item 4; the
+    # 0.42-0.69 multi-session spread in docs/ROOFLINE.md §5 is worker
+    # phase, not kernel quality — both numbers ride the same phase here)
+    from tpu_spai.bench.roofline import measure_stream_gbps, spmv_roofline_row
+
+    try:
+        stream = measure_stream_gbps()
+        detail["stream_gbps"] = round(stream, 1)
+        log(f"co-measured STREAM: {stream:.0f} GB/s "
+            f"({100*stream/bw:.0f}% of nominal {bw:.0f})")
+    except Exception as exc:  # noqa: BLE001
+        stream = None
+        log(f"stream measurement failed: {exc}")
 
     for res in (24, 48):
-        row = spmv_roofline_row(res, hbm_gbps=bw, reps=5)
+        row = spmv_roofline_row(res, hbm_gbps=bw, reps=5, stream_gbps=stream)
         if row:
             detail[f"spmv_n{row['n']}"] = row
+            norm = row.get("roofline_frac_normalized")
             log(f"SpMV n={row['n']}: {row['spmv_us']} us, "
-                f"{row['gbps']} GB/s ({100*row['roofline_frac']:.0f}% roofline)")
+                f"{row['gbps']} GB/s ({100*row['roofline_frac']:.0f}% nominal"
+                + (f", {100*norm:.0f}% of stream)" if norm else ")"))
 
-    # ---- 2) trained-model end-to-end (heat_r20, rr tier) --------------
+    # ---- 2) trained-model end-to-end (heat_r20 w48, rr tier) ----------
+    # VERDICT r4 item 1: the e2e headline runs the FSAI-parity model
+    # (w48, 99.0 iters = host oracle — output/heat_r20_w48) through the
+    # production CLI, not the faster-constructing 16-wide model.
     heat_cfg = [
         "data.is_fixed_topology=true", "data.has_shared_features=true",
         "data.use_node_features=true", "data.use_mask_as_node_feature=true",
@@ -168,8 +186,8 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         try:
             e2e = _infer_neural_row(
-                "generated/heat_r20", "outputs/heat_r20_v2/checkpoints",
-                td, extra=heat_cfg,
+                "generated/heat_r20", "outputs/heat_r20_w48/checkpoints",
+                td, extra=heat_cfg + ["gnn_features=48"],
             )
         except Exception as exc:  # noqa: BLE001
             log(f"heat_r20 e2e failed: {exc}")
@@ -181,6 +199,10 @@ def main():
             f"{e2e['iters']:.0f} iters, n={e2e['n']})")
 
     # ---- 3) large case n≈50k (reference large row is n=49,152) --------
+    # stays on the 16-wide model: at n=50k the model is applied OOD (no
+    # trained res=36 checkpoint) and construction scales ~linearly with
+    # width x slots — per-size model choice is a deployment knob, the
+    # capability demonstrated here is scale
     big_prefix = "output/bench_heat_r36"
     try:
         if not os.path.isdir(os.path.join(big_prefix, "mat")):

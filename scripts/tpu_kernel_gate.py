@@ -202,6 +202,39 @@ def main():
     check("fused_gnn_edges_rev",
           relerr(np.asarray(vr_f), np.asarray(vr_o)), 2e-4)
 
+    # --- fused GNN at production width 48 (round-4 regression: the w48
+    # parity models' fused kernel exceeded the default 16 MiB scoped-VMEM
+    # limit and every device row was skipped — output/r20w48_infer.log;
+    # slotted_fused now raises vmem_limit_bytes from a width-aware model)
+    from tpu_spai.gnn.slotted import gnn_width_from_params
+
+    gnn48 = NodeEdgeProcessing(
+        edge_out_features=1, num_mp_layers=2,
+        node_features=48, edge_features=48,
+        node_mlp={"pre_norm": "layer"}, edge_mlp={"pre_norm": "layer"},
+        msg_mlp={"pre_norm": "layer"},
+    )
+    params48 = gnn48.init(
+        jax.random.key(1), jnp.asarray(nf), ei, jnp.asarray(ef))
+    g48 = fused_safe_group(
+        pat.k_width, pat.n_cols, nf=gnn_width_from_params(params48),
+        window=pat.window, q_chunks=pat.q_chunks)
+    sg48 = (build_slot_graph(coo.row, coo.col, coo.data, n, group=g48)
+            if pat.group > g48 else sg)
+    ef48 = slot_scatter(sg48, ef)
+    er48 = slot_scatter(sg48, ef, reverse=True)
+    x48, vf48, vr48 = slotted_gnn_forward(
+        params48, sg48, jnp.asarray(nf), ef48, er48,
+        impl="fused_interpret" if interp else "fused")
+    x48o, vf48o, vr48o = slotted_gnn_forward(
+        params48, sg48, jnp.asarray(nf), ef48, er48, impl="xla")
+    check("fused_gnn_w48_nodes",
+          relerr(np.asarray(x48), np.asarray(x48o)), 2e-4)
+    check("fused_gnn_w48_edges_fwd",
+          relerr(np.asarray(vf48), np.asarray(vf48o)), 2e-4)
+    check("fused_gnn_w48_edges_rev",
+          relerr(np.asarray(vr48), np.asarray(vr48o)), 2e-4)
+
     # --- windowed-ELL SpMV ----------------------------------------------
     from tpu_spai.kernels.window import build_windowed, windowed_spmv_xla
     from tpu_spai.kernels.spmv_pallas import windowed_spmv_pallas

@@ -234,3 +234,46 @@ def test_ball_pick_regions(tmp_path):
     # regions sit at opposite x extremes
     assert vert[dg.left_dofs, 0].mean() < vert[:, 0].mean()
     assert vert[dg.right_dofs, 0].mean() > vert[:, 0].mean()
+
+
+def test_elasticity_stretch4_armadillo_fidelity(tmp_path):
+    """4-region stretch at reference fidelity (stretch_armadillo.py:
+    104-154): four ball regions, staged release, feet-only mask quirk."""
+    import numpy as np
+
+    from tpu_spai.datagen.elasticity import StretchArmadillo4Datagen
+    from tpu_spai.datagen.meshes import unit_box_tet
+
+    rng = np.random.default_rng(0)
+    vert, elem = unit_box_tet(5, 4, 4)
+    vert = (vert - 0.5) + rng.uniform(-0.03, 0.03, vert.shape)
+    np.save(tmp_path / "_s4_verts.npy", vert)
+    np.save(tmp_path / "_s4_elems.npy", elem.astype(np.int32))
+    # box-frame ball centers (corners of the jittered box stand in for
+    # hands/feet)
+    centers = (
+        (-0.5, 0.4, 0.4), (0.5, 0.4, 0.4),
+        (-0.5, -0.4, -0.4), (0.5, -0.4, -0.4),
+    )
+    p = tmp_path / "stretch4"
+    dg = StretchArmadillo4Datagen(
+        prefix=str(p), mesh_npy=str(tmp_path / "_s4"),
+        centers=centers, radius=0.35, max_count=8, time_step=0.02,
+    )
+    assert all(
+        len(d) > 0 for d in (dg.lh, dg.rh, dg.lf, dg.rf)
+    )
+    masks = []
+    for _ in range(8):
+        h, mask, deform, rhs = dg.step()
+        masks.append(mask.copy())
+        assert abs(deform.mean()) < 1e-9  # zero-centered features
+    # phase 1 (count<3): feet masked, hands NOT (reference mask quirk)
+    assert (masks[0][dg.lf] == 0).all() and (masks[0][dg.rf] == 0).all()
+    assert (masks[0][dg.lh] == 1).all() and (masks[0][dg.rh] == 1).all()
+    # phase 2 (3<=count<5): right foot released back to 1, left still 0
+    assert (masks[3][dg.rf] == 1).all() and (masks[3][dg.lf] == 0).all()
+    # phase 3 (count>=5): nothing masked
+    assert (masks[5] == 1).all()
+    # the solver actually pulled: nonzero deformation accumulated
+    assert np.abs(dg.solver.deformation()).max() > 1e-4

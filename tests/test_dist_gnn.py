@@ -184,26 +184,29 @@ def test_dist_neural_pcg_matches_single_device():
          (coo_p.row, coo_p.col)),
         shape=(n, n),
     )
-    ga = build_gsel_csr(ap)
+    # single-device oracle at the MATCHING precision tier: dist defaults
+    # to rr/ds_a (round 4), so compare against pcg_gsel_rr ds_a
+    from tpu_spai.solver.gsel_solver import pcg_gsel_rr
+
+    ga = build_gsel_csr(ap, double_single=True)
     gl = build_gsel_csr(l_csr)
     glt = build_gsel_csr(sp.csr_matrix(l_csr.T).tocsr())
     b = a @ np.ones(n)
-    prec = GselSpaiPrec(gl, glt, jnp.float32(eps))
-    r1 = pcg_gsel(
-        ga, jnp.asarray(b[perm], jnp.float32), prec=prec, rtol=1e-6,
-        max_iter=5000, impl="xla", dot_dtype=jnp.float64,
+    prec = GselSpaiPrec(gl, glt, jnp.float32(eps), impl="xla")
+    r1 = pcg_gsel_rr(
+        ga, jnp.asarray(b[perm]), prec=prec, rtol=1e-6,
+        max_iter=5000, impl="xla", spmv_precision="ds_a",
     )
     assert abs(int(results[8].iters) - int(r1.iters)) <= 3, (
         int(results[8].iters), int(r1.iters),
     )
 
-    # solution correctness vs the operator
+    # solution correctness vs the operator: the rr tier reaches TRUE
+    # rtol (the old f32 tier plateaued at ~eps_f32 * kappa ~ 3e-3 here)
     x_orig = np.empty(n)
-    x_orig[perm] = np.asarray(results[8].x).reshape(-1)[:n]
+    x_orig[perm] = np.asarray(results[8].x, np.float64).reshape(-1)[:n]
     rel = np.linalg.norm(a @ x_orig - b) / np.linalg.norm(b)
-    # f32 attainable-accuracy plateau ~ eps_f32 * kappa (kappa ~ 9e3 on
-    # this operator) — same bound as test_gsel_dist.test_dist_pcg_gsel_spai
-    assert rel < 3e-3, rel
+    assert rel < 2e-6, rel
 
 
 def _bsr_fem(b=3):
@@ -340,7 +343,9 @@ def test_dist_block_factor_b3():
         )
         assert bool(res.converged)
         iters[p] = int(res.iters)
-    assert abs(iters[8] - iters[1]) <= 2, iters
+    # psum reduction order differs between shard counts; at the ~2,200
+    # iterations this random-init factor needs, allow 1% relative spread
+    assert abs(iters[8] - iters[1]) <= max(2, 0.01 * iters[1]), iters
 
 
 def test_one_shard_equals_eight():

@@ -80,3 +80,52 @@ def test_infer_cli_writes_csvs(trained):
     assert any("PCG-fsai-tpu" in str(k) for k in keys), keys
     tpu_rows = df[df["Key"].astype(str).str.contains("tpu")]
     assert np.isfinite(tpu_rows["#Iteration"].to_numpy(float)).all()
+
+
+def test_infer_ic_device_row_topology_cache(tmp_path):
+    """Device-IC row with the per-topology level-schedule cache
+    (VERDICT r3 item 8): fixed-topology dataset, 2 samples — the second
+    sample reuses the cached pattern work; the row must exist for both
+    with finite iterations."""
+    from tpu_spai.datagen.heat import HeatDatagen
+
+    prefix = tmp_path / "heat_ic"
+    HeatDatagen(
+        prefix=str(prefix), mesh="box:5", max_count=6, seed=3,
+    ).generate()
+    out = tmp_path / "out"
+    train_cli.main([
+        "exp_name=ic_e2e",
+        f"data.prefix={prefix}",
+        "data.is_fixed_topology=true",
+        "data.has_shared_features=true",
+        "data.use_node_features=true",
+        "data.use_mask_as_node_feature=true",
+        "trainer.max_epochs=2",
+        "trainer.check_val_every_n_epoch=99",
+        "checkpoint.every_n_epochs=2",
+        "gnn_features=8", "gnn.num_mp_layers=1",
+        "check_methods=[none]",
+        f"output_dir={out}",
+    ])
+    infer_out = tmp_path / "infer_out"
+    infer_cli.main([
+        "exp_name=ic_e2e",
+        f"data.prefix={prefix}",
+        "data.is_fixed_topology=true",
+        "data.has_shared_features=true",
+        "data.use_node_features=true",
+        "data.use_mask_as_node_feature=true",
+        "gnn_features=8", "gnn.num_mp_layers=1",
+        f"pretrained={out}/checkpoints",
+        "check_methods=[ic]",
+        "max_samples=2",
+        f"out_dir={infer_out}",
+    ])
+    df = pd.read_csv(infer_out / "all_infer_ic_e2e_6.csv")
+    ic_rows = df[df["Key"] == "PCG-ic-tpu"]
+    assert len(ic_rows) == 2, set(df["Key"])
+    assert np.isfinite(ic_rows["#Iteration"]).all()
+    # host-vs-device iteration sanity: same factor, chunk64 tier
+    host = df[df["Key"] == "PCG-ic-cpu"]["#Iteration"]
+    assert (ic_rows["#Iteration"] <= 3 * host.max() + 5).all()

@@ -201,3 +201,50 @@ def test_streamed_x_window(monkeypatch):
         )
         monkeypatch.setattr(slotted_mod, "STREAM_X_BYTES", 2 * 2**20)
         jax.clear_caches()
+
+
+def test_fused_safe_group_width_aware():
+    # round-4 fix (VERDICT r3 item 1): the VMEM model must scale with
+    # GNN width. nf<=16 keeps the round-1n calibration byte-for-byte;
+    # wider models budget against the raised per-kernel vmem limit.
+    from tpu_spai.gnn.slotted import fused_safe_group
+    from tpu_spai.gnn.slotted_fused import (
+        _fused_vmem_limit,
+        fused_vmem_per_slotlane,
+    )
+
+    # calibration anchors (v5e compile reports)
+    assert abs(fused_vmem_per_slotlane(16) - 650) < 10
+    assert abs(fused_vmem_per_slotlane(48) - 3700) < 120
+
+    # nf=16 path unchanged vs the legacy formula
+    g16 = fused_safe_group(19, 9261, nf=16, window=2, q_chunks=64)
+    legacy_budget = int(15.0 * 2**20) - 16 * 64 * 128 * 4  # streamed x
+    assert g16 == max(1, min(16, legacy_budget // (650 * 19 * 128)))
+
+    # w48 heat_r20 shape (k_width=19): must propose a group >= 2 (the
+    # committed r3 run OOM'd at group=2 under the 16 MiB default)
+    g48 = fused_safe_group(19, 9261, nf=48, window=2, q_chunks=64)
+    assert g48 >= 2
+    # and the kernel's computed limit must cover the measured need:
+    # 17.65 MB at gk=38, t=128, nf=48 (output/r20w48_infer.log)
+    lim = _fused_vmem_limit(48, 48, 48, 2 * 19, 128, 0)
+    assert lim is not None and lim > int(17.65e6)
+    # 16-wide production grids keep the default limit (None)
+    assert _fused_vmem_limit(16, 16, 16, 9 * 19, 128, 0) is None
+
+
+def test_gnn_width_from_params():
+    from tpu_spai.gnn.slotted import gnn_width_from_params
+
+    ap, rows, cols, vals, nf, ef = _graph()
+    for width in (16, 48):
+        gnn = NodeEdgeProcessing(
+            edge_out_features=1, num_mp_layers=1,
+            node_features=width, edge_features=width,
+        )
+        ei = jnp.asarray(np.stack([rows, cols]).astype(np.int32))
+        params = gnn.init(
+            jax.random.key(0), jnp.asarray(nf), ei, jnp.asarray(ef)
+        )
+        assert gnn_width_from_params(params) == width

@@ -161,3 +161,80 @@ def test_resume_missing_checkpoint_starts_fresh(tiny_synthetic, tmp_path):
     )
     params = fit(ws, ds, cfg, out_dir=str(tmp_path / "out3"), seed=0)
     assert params is not None
+
+
+def test_params_only_opt_state_fast_forwards_schedule_only():
+    # ADVICE r3: the params-only resume fallback must fast-forward the
+    # LR-schedule position but leave scale_by_adam's count at 0 so bias
+    # correction warms up against the freshly zeroed moments
+    import jax.numpy as jnp
+    import optax
+
+    from tpu_spai.train.loop import params_only_opt_state
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adamw(
+            optax.exponential_decay(1e-3, 10, 0.99, staircase=True),
+            weight_decay=3e-3,
+        ),
+    )
+    state = tx.init({"w": jnp.ones((3,))})
+    out = params_only_opt_state(state, 4320)
+
+    def find(s, typ):
+        hits = []
+
+        def walk(node):
+            if isinstance(node, typ):
+                hits.append(node)
+                return
+            if hasattr(node, "_fields"):
+                for f in node._fields:
+                    walk(getattr(node, f))
+            elif isinstance(node, (tuple, list)):
+                for c in node:
+                    walk(c)
+
+        walk(s)
+        return hits
+
+    (adam,) = find(out, optax.ScaleByAdamState)
+    scheds = find(out, optax.ScaleByScheduleState)
+    assert int(adam.count) == 0
+    assert scheds and all(int(s.count) == 4320 for s in scheds)
+
+
+def test_resume_params_only_checkpoint(tiny_synthetic, tmp_path):
+    # segment killed after pruning `_opt`: resume from a params-only
+    # checkpoint must warm-restart (warn), not crash — including when
+    # the `_opt` dir exists but is corrupt (ADVICE r3 low)
+    import shutil
+
+    out = tmp_path / "out_po"
+    cfg = _cfg(
+        tiny_synthetic,
+        output_dir=str(out),
+        **{"trainer.max_epochs": 2, "checkpoint.every_n_epochs": 1},
+    )
+    ds = FolderDataset(**cfg.data)
+    ws = get_workspace("simple")(
+        gnn=cfg.gnn, loss=cfg.loss, block_size=ds.block_size,
+        epsilon=float(cfg.epsilon),
+    )
+    fit(ws, ds, cfg, out_dir=str(out), seed=0)
+    ckdir = out / "checkpoints"
+    # prune every _opt sibling; corrupt one by leaving an empty dir
+    for p in ckdir.glob("epoch_*_opt"):
+        shutil.rmtree(p)
+    from tpu_spai.train.checkpoints import latest_checkpoint
+
+    last = latest_checkpoint(ckdir)
+    (ckdir / (last.name + "_opt")).mkdir()  # corrupt/incomplete _opt
+    cfg2 = _cfg(
+        tiny_synthetic,
+        output_dir=str(out),
+        resume=str(ckdir),
+        **{"trainer.max_epochs": 3, "checkpoint.every_n_epochs": 1},
+    )
+    fit(ws, ds, cfg2, out_dir=str(out), seed=0)  # must not raise

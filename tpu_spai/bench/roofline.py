@@ -56,8 +56,38 @@ def measure_chain(fn, r1: int, r2: int, reps: int = 7) -> float:
     return (min(ts[r2]) - min(ts[r1])) / (r2 - r1)
 
 
+def measure_stream_gbps(m_floats: int = 24 * 2**20, reps: int = 5) -> float:
+    """Achievable HBM bandwidth via a chained axpby stream, measured
+    IN-PROCESS — the phase-normalization denominator (VERDICT r3 weak
+    item 1 / round-4 item 4).
+
+    The shared v5e worker has multi-minute ~2-3x performance phases
+    (CLAUDE.md): a roofline fraction against the NOMINAL 819 GB/s mixes
+    kernel quality with worker phase. `spmv_gbps / stream_gbps`
+    co-measured in one process is phase-invariant: both numerators ride
+    the same phase. y_{k+1} = a*y_k + x with 96 MB operands (>> VMEM, so
+    every step restreams: read y + read x + write y = 3 arrays)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((m_floats,), jnp.float32)
+    y0 = jnp.zeros((m_floats,), jnp.float32)
+
+    @partial(jax.jit, static_argnums=2)
+    def chain(y, xv, r):
+        def body(yc, _):
+            return 0.999 * yc + xv, None
+
+        y, _ = jax.lax.scan(body, y, None, length=r)
+        return y
+
+    t = measure_chain(lambda m: chain(y0, x, m), 8, 48, reps=reps)
+    return 3 * m_floats * 4 / t / 1e9
+
+
 def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
-                      reps: int = 7) -> Optional[dict]:
+                      reps: int = 7,
+                      stream_gbps: Optional[float] = None) -> Optional[dict]:
     """Measured isolated-SpMV roofline entry for one heat size."""
     import jax
     import jax.numpy as jnp
@@ -87,7 +117,7 @@ def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
     t_spmv = measure_chain(lambda m: chain(x0, m), r1, r2, reps=reps)
     bytes_total = b_in + b_out
     gbps = bytes_total / t_spmv / 1e9
-    return {
+    row = {
         "res": res,
         "n": n,
         "nnz": nnz,
@@ -98,3 +128,7 @@ def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
         "gbps": round(gbps, 1),
         "roofline_frac": round(gbps / hbm_gbps, 4),
     }
+    if stream_gbps:
+        row["stream_gbps"] = round(stream_gbps, 1)
+        row["roofline_frac_normalized"] = round(gbps / stream_gbps, 4)
+    return row

@@ -151,6 +151,12 @@ def main(argv=None):
         ["fsai"] if "fsai" in cfg.select("check_methods", []) else []
     )
 
+    # per-topology cache for the device-IC row: the level schedule +
+    # plane geometry are PATTERN-only (one-time per dataset on
+    # fixed-topology runs — VERDICT r3 item 8); per-sample work is the
+    # host ic0 factorization + an O(nnz) value gather
+    ic_topo_cache: dict = {}
+
     try:
         for count, i in enumerate(indices[:max_samples]):
             batch = collate([dataset.get(i)])
@@ -506,10 +512,14 @@ def main(argv=None):
                     # scripts/ic_device_ab.py).
                     if "ic" in check_methods and ga_f is not None:
                         try:
+                            import dataclasses as _dc2
+                            import hashlib as _hl
+
                             import scipy.sparse as _sp2
 
                             from ..kernels.sptrsv import (
                                 IcPrec,
+                                build_ic_layout,
                                 build_ic_planes,
                             )
 
@@ -521,20 +531,56 @@ def main(argv=None):
 
                                 lfac = _sp2.csr_matrix(_ic0(a_csr))
                             lfac.sort_indices()
-                            fwd_p, bwd_p, ppos = build_ic_planes(lfac)
-                            coo_a = a_csr.tocoo()
-                            a_pad = _sp2.csr_matrix(
-                                (coo_a.data,
-                                 (ppos[coo_a.row], ppos[coo_a.col])),
-                                shape=(fwd_p.n_pad, fwd_p.n_pad),
+                            tkey = _hl.sha1(
+                                a_csr.indptr.tobytes()
+                                + a_csr.indices.tobytes()
+                            ).hexdigest()
+                            cached = ic_topo_cache.get(tkey)
+                            if cached is None:
+                                ts = time.perf_counter()
+                                lay = build_ic_layout(lfac)
+                                ppos = lay["ppos"]
+                                coo_a = a_csr.tocoo()
+                                n_a = a_csr.nnz
+                                ida = _sp2.csr_matrix(
+                                    (np.arange(1, n_a + 1, dtype=np.float64),
+                                     (ppos[coo_a.row], ppos[coo_a.col])),
+                                    shape=(lay["n_pad"], lay["n_pad"]),
+                                )
+                                ga_id = build_gsel_csr(ida)
+                                if ga_id is None:
+                                    raise RuntimeError("padded A unbandable")
+                                # slot -> A entry map (ids f32-exact); the
+                                # padded-frame entry ORDER map a_ord undoes
+                                # the coo->csr re-sort of the id matrix
+                                a_map = np.rint(
+                                    np.asarray(ga_id.vals)
+                                ).astype(np.int64)
+                                sched_t = time.perf_counter() - ts
+                                log.info(
+                                    "ic level schedule built in "
+                                    f"{sched_t*1e3:.0f} ms (pattern-only, "
+                                    "cached per topology)"
+                                )
+                                cached = (lay, ga_id, a_map, sched_t)
+                                ic_topo_cache[tkey] = cached
+                            lay, ga_id, a_map, _sched_t = cached
+                            fwd_p, bwd_p, ppos = build_ic_planes(
+                                lfac, layout=lay
                             )
-                            ga_ic = build_gsel_csr(a_pad)
+                            avfull = np.concatenate(
+                                [[0.0], a_csr.tocoo().data]
+                            ).astype(np.float32)
+                            ga_ic = _dc2.replace(
+                                ga_id,
+                                vals=jnp.asarray(
+                                    avfull[a_map].reshape(a_map.shape)
+                                ),
+                            )
                             ic_fact_t = time.perf_counter() - t0 + (
                                 cpu_prec_t.get("ic", 0.0)
                                 if "ic" in fcache else 0.0
                             )
-                            if ga_ic is None:
-                                raise RuntimeError("padded A unbandable")
                             bp_ic = np.zeros(fwd_p.n_pad, np.float32)
                             bp_ic[ppos] = np.asarray(a_csr @ r)
                             icprec = IcPrec(fwd_p, bwd_p, impl=impl)
@@ -606,9 +652,14 @@ def main(argv=None):
                                 "infeasible (pattern too wide)"
                             )
                         if layout is not None and impl == "pallas":
+                            from ..gnn.slotted import (
+                                gnn_width_from_params,
+                            )
+
                             pat = layout.sg.pattern
                             gsafe = fused_safe_group(
                                 pat.k_width, pat.n_cols,
+                                nf=gnn_width_from_params(params),
                                 window=pat.window, q_chunks=pat.q_chunks,
                             )
                             if layout.sg.pattern.group > gsafe:
@@ -805,14 +856,16 @@ def main(argv=None):
                 except Exception as e:  # noqa: BLE001
                     log.warning(f"gsel solve skipped: {e}")
 
-            # fallback: graph-form XLA device solve for the SpMV-only
+            # LEGACY graph-form XLA device solve for the SpMV-only
             # methods when the gsel section didn't fill them (unbandable
-            # pattern or use_windowed=false). Wrapped per-row: this legacy
-            # path faults the shared worker at armadillo scale (b=3,
-            # n=17,454 — r3_sessionA.log), and a dead device must not
-            # abort the run before the host rows are written.
+            # pattern or use_windowed=false). RETIRED from the default
+            # path (VERDICT r3 item 10): it reproducibly faults the
+            # shared TPU worker at armadillo scale (b=3, n=17,454 —
+            # r3_sessionA.log). Opt back in with +legacy_device_rows=true;
+            # the gsel path is the only device solve issued by default.
+            legacy_rows = bool(cfg.select("legacy_device_rows", False))
             for method in ("none", "diagonal"):
-                if (method not in check_methods
+                if (not legacy_rows or method not in check_methods
                         or method in _dev_simple_done or host_only):
                     continue
                 try:
@@ -885,7 +938,13 @@ def main(argv=None):
                     dpm_s = (
                         dpm[:, None] * b_sz2 + np.arange(b_sz2)[None, :]
                     ).reshape(-1)
-                    bd = np.zeros(dist_n * pgnn.pg_a.chunk, np.float32)
+                    # rr tier (default): f64 RHS end-to-end — fp64-grade
+                    # stopping must not solve an f32-truncated system
+                    d_prec = str(cfg.select("dist_precision", "rr"))
+                    bd = np.zeros(
+                        dist_n * pgnn.pg_a.chunk,
+                        np.float64 if d_prec == "rr" else np.float32,
+                    )
                     bd[:msize] = (a_csr @ r)[dpm_s]
                     dmesh = Mesh(
                         np.array(jax.devices()[:dist_n]), ("shards",)
@@ -900,6 +959,7 @@ def main(argv=None):
                         jnp.asarray(bd.reshape(dist_n, -1)),
                         epsilon=float(workspace.epsilon), rtol=rtol,
                         max_iter=msize, impl="xla", mesh=dmesh,
+                        precision=d_prec,
                     )
                     dres = dist_solve()
                     np.asarray(dres.x)

@@ -389,9 +389,103 @@ class BendDatagen(_ElasticityBase):
         return None  # released — beam sags under gravity
 
 
+class StretchArmadillo4Datagen(_ElasticityBase):
+    """The reference's 4-region armadillo stretch at full fidelity
+    (stretch_armadillo.py:40-60, 104-154): ball-picked hands + feet with
+    the reference's exact centers/radius and distinct diagonal pull
+    directions, staged release, and the reference's dataset-mask quirk
+    (`all_bc_idx` is rebound to the FEET at stretch_armadillo.py:65, so
+    the emitted Dirichlet mask only ever covers the feet — hand rows
+    stay free rows of the unfiltered Hessian).
+
+    Schedule in fractions of ``max_count`` (reference: 300/500 of 800):
+      * count < 3/8: all four regions pulled at speed 0.5 —
+        LH [-1,0,1], RH [1,0,1], LF [-1,0,-1], RF [1,0,-1]
+        (stretch_armadillo.py:108-135);
+      * 3/8 <= count < 5/8: LH and RF released (mark_general,
+        :119-123), RH and LF still pulled;
+      * count >= 5/8: everything released, the body relaxes (:136-140).
+
+    Deformation features are zero-centered like the reference
+    (stretch_armadillo.py:153)."""
+
+    def __init__(
+        self,
+        *args,
+        pull_speed: float = 0.5,
+        centers=(
+            (-0.36, 0.31, 0.32),   # left hand
+            (0.36, 0.22, 0.38),    # right hand
+            (-0.36, -0.01, -0.47),  # left foot
+            (0.20, -0.01, -0.47),   # right foot
+        ),
+        radius: float = 0.04,
+        **kw,
+    ):
+        super().__init__(*args, **kw)
+        self.pull_speed = pull_speed
+        # drop the base class's x-extreme plane constraints
+        self.solver.release_dirichlet(self.left_dofs)
+        self.solver.release_dirichlet(self.right_dofs)
+        v = self.vert
+
+        def in_ball(c):
+            return np.where(
+                np.linalg.norm(v - np.asarray(c), axis=1) < radius
+            )[0]
+
+        self.lh, self.rh, self.lf, self.rf = (in_ball(c) for c in centers)
+        for dofs in (self.lh, self.rh, self.lf, self.rf):
+            assert len(dofs) > 0, "ball pick found no vertices"
+            self.solver.mark_dirichlet_batched(
+                dofs, np.zeros((len(dofs), 3))
+            )
+        self.solver.reset()
+        # reference mask quirk: all_bc_idx = the feet only
+        self.all_bc_idx = np.concatenate([self.lf, self.rf])
+        self.t = 0.0
+        self._count = 0
+
+    def _pull(self, dofs, direction):
+        # reference: dx = T * 0.5 elementwise with axis signs — magnitude
+        # pull_speed*T per active axis (stretch_armadillo.py:110-135)
+        off = self.pull_speed * self.t * np.asarray(direction, np.float64)
+        self.solver.mark_dirichlet_batched(
+            dofs, np.tile(off, (len(dofs), 1))
+        )
+
+    def step(self):
+        c, mc = self._count, self.max_count
+        mask3 = np.ones((len(self.vert), 3), np.float32)
+        if c < (5 * mc) // 8:
+            mask3[self.all_bc_idx] = 0.0
+            if c < (3 * mc) // 8:
+                self._pull(self.lh, (-1, 0, 1))
+                self._pull(self.rf, (1, 0, -1))
+            else:
+                self.solver.release_dirichlet(self.lh)
+                self.solver.release_dirichlet(self.rf)
+                mask3[self.lh] = 1.0
+                mask3[self.rf] = 1.0
+            self._pull(self.rh, (1, 0, 1))
+            self._pull(self.lf, (-1, 0, -1))
+        else:
+            for dofs in (self.lh, self.rh, self.lf, self.rf):
+                self.solver.release_dirichlet(dofs)
+        force = self.solver.forces()
+        hess = sp.csr_matrix(self.solver.hessian())
+        self.solver.step()
+        deform = self.solver.deformation()
+        deform = deform - deform.mean(axis=0, keepdims=True)
+        self.t += self.solver.h
+        self._count += 1
+        return hess, mask3, deform, force.reshape(-1)
+
+
 class StretchDatagen(_ElasticityBase):
     """Ball-picked regions pulled apart, constraints released mid-sequence
-    (~ stretch_armadillo.py:104-154)."""
+    (~ stretch_armadillo.py:104-154; see StretchArmadillo4Datagen for the
+    full-fidelity 4-region scene)."""
 
     def __init__(self, *args, pull_speed: float = 0.5, release_at: int = 24, **kw):
         super().__init__(*args, **kw)
@@ -423,7 +517,12 @@ def main(argv=None):
             name = a.split("=", 1)[1]
     cfg = cli_config(args, cfg_dir, name)
     kind = cfg.select("kind", "twist")
-    cls = {"twist": TwistDatagen, "bend": BendDatagen, "stretch": StretchDatagen}[kind]
+    cls = {
+        "twist": TwistDatagen,
+        "bend": BendDatagen,
+        "stretch": StretchDatagen,
+        "stretch4": StretchArmadillo4Datagen,
+    }[kind]
     kwargs = {k: v for k, v in cfg.to_dict().items() if k != "kind"}
     cls(**kwargs).generate()
 

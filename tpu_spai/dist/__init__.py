@@ -16,7 +16,12 @@ the row-partitioned solver IS the model-parallel axis of this workload.
 
 from .partition import PartitionedSystem, partition_system
 from .cg import dist_pcg, dist_spmv_reference
-from .gsel_dist import PartitionedGsel, dist_pcg_gsel, partition_gsel
+from .gsel_dist import (
+    PartitionedGsel,
+    dist_pcg_gsel,
+    dist_pcg_gsel_rr,
+    partition_gsel,
+)
 from .gnn import (
     PartitionedGnnGraph,
     dist_gnn_factor,
@@ -32,6 +37,7 @@ __all__ = [
     "PartitionedGsel",
     "partition_gsel",
     "dist_pcg_gsel",
+    "dist_pcg_gsel_rr",
     "PartitionedGnnGraph",
     "partition_gnn_inference",
     "dist_gnn_factor",

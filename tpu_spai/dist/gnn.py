@@ -48,7 +48,13 @@ import scipy.sparse as sp
 
 from ..gnn.layers import FeedForward, MPLayer, NodeEdgeProcessing
 from .cg import AXIS, _halo_exchange
-from .gsel_dist import PartitionedGsel, dist_pcg_gsel, partition_gsel_permuted
+from .gsel_dist import (
+    PartitionedGsel,
+    _get_shard_map,
+    dist_pcg_gsel,
+    dist_pcg_gsel_rr,
+    partition_gsel_permuted,
+)
 from .partition import rcm_permutation
 
 
@@ -95,6 +101,7 @@ def partition_gnn_inference(
     block_size: int = 1,
     mask_dof: Optional[np.ndarray] = None,
     rsqrt_dof: Optional[np.ndarray] = None,
+    double_single: bool = True,
 ) -> Tuple[PartitionedGnnGraph, np.ndarray]:
     """Partition matrix + input features for sharded GNN inference.
 
@@ -160,7 +167,8 @@ def partition_gnn_inference(
     a_exp = sp.csr_matrix((vals_s, (rows_s, cols_s)), shape=(n_s, n_s))
 
     pg_a = partition_gsel_permuted(
-        a_exp, n_shards, group=group, chunk_multiple=b
+        a_exp, n_shards, group=group, chunk_multiple=b,
+        double_single=double_single,
     )
     chunk_s, halo_s = pg_a.chunk, pg_a.halo
     chunk, halo = chunk_s // b, halo_s // b  # block-level geometry
@@ -424,8 +432,9 @@ def factor_planes(
     if pgnn.scale_f is not None:
         vf = vf * pgnn.scale_f + pgnn.add_p
         vr = vr * pgnn.scale_r + pgnn.add_p
-    pl = dataclasses.replace(pgnn.pg_a, vals=vf)
-    plt = dataclasses.replace(pgnn.pg_a, vals=vr)
+    # vals_lo belongs to A only — the factor is f32-born (GNN output)
+    pl = dataclasses.replace(pgnn.pg_a, vals=vf, vals_lo=None)
+    plt = dataclasses.replace(pgnn.pg_a, vals=vr, vals_lo=None)
     return pl, plt
 
 
@@ -439,30 +448,30 @@ def dist_neural_pcg(
     max_iter: int = 1000,
     impl: str = "pallas",
     mesh: Optional[jax.sharding.Mesh] = None,
+    precision: str = "rr",  # 'rr' (honest, default) | 'f32' (legacy)
 ):
     """Fully sharded neural solve: dist GNN construction + dist SPAI-PCG.
 
     The whole pipeline runs on the mesh: sharded forward, slot-map value
-    fill, then `dist_pcg_gsel` — no single-device materialization of the
-    factor at any point."""
+    fill, then the distributed PCG — no single-device materialization of
+    the factor at any point. ``precision='rr'`` (default) runs the
+    group-anchored residual-replacement tier with the ds_a A-matvec
+    (`dist_pcg_gsel_rr`): fp64-grade TRUE-residual stopping matching the
+    host oracle's iteration counts; requires the graph partitioned with
+    double_single=True (partition_gnn_inference default)."""
     evals = dist_gnn_factor(model, params, pgnn, mesh=mesh)
     pl, plt = factor_planes(pgnn, evals)
+    if precision == "rr":
+        assert pgnn.pg_a.vals_lo is not None, (
+            "partition_gnn_inference(double_single=True) required for rr"
+        )
+        return dist_pcg_gsel_rr(
+            pgnn.pg_a, b, pl=pl, plt=plt, epsilon=epsilon, rtol=rtol,
+            max_iter=max_iter, impl=impl, mesh=mesh, a_ds=True,
+        )
     return dist_pcg_gsel(
         pgnn.pg_a, b, pl=pl, plt=plt, epsilon=epsilon, rtol=rtol,
         max_iter=max_iter, impl=impl, mesh=mesh,
     )
 
 
-def _get_shard_map():
-    try:
-        from jax import shard_map as _sm  # jax >= 0.8
-
-        def shard_map(f, **kw):
-            kw["check_vma"] = kw.pop("check_rep", False)
-            return _sm(f, **kw)
-
-        return shard_map
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-
-        return shard_map

@@ -69,6 +69,17 @@ class SlotGraph:
         return self.pattern.n_rows
 
 
+def gnn_width_from_params(params) -> int:
+    """Feature width of a NodeEdgeProcessing param tree (the node
+    encoder's output channels) — feed to fused_safe_group(nf=...)."""
+    p = params["params"] if "params" in params else params
+    denses = sorted(
+        (k for k in p["node_enc"] if k.startswith("Dense_")),
+        key=lambda k: int(k[6:]),
+    )
+    return int(p["node_enc"][denses[-1]]["kernel"].shape[1])
+
+
 def fused_safe_group(
     k_width: int, n_cols: int = 0, nf: int = 16, window: int = 1,
     q_chunks: int = 64,
@@ -80,23 +91,33 @@ def fused_safe_group(
     verified on v5e, inside scan bodies included).
 
     window=2: byte model calibrated on v5e compile reports — resident x
-    planes ([nf, n_chunks, 128] f32) + ~437 B of live plane tensors per
-    slot-lane (the two gather operands stay live); 15 MB budget leaves
-    scheduler headroom. Callers should pass n_cols — with the default 0
-    the model reduces to a plane-only budget (adequate for n <~ 30k)."""
+    planes ([nf, n_chunks, 128] f32) + per-slot-lane live-plane bytes
+    from `fused_vmem_per_slotlane(nf)` (650 B at nf=16, ~3700 B at
+    nf=48). Callers should pass n_cols — with the default 0 the model
+    reduces to a plane-only budget (adequate for n <~ 30k).
+
+    Width-aware (round 4, VERDICT item 1): pass `nf` = the GNN feature
+    width. nf<=16 keeps the proven 15 MiB default-limit budget
+    byte-for-byte; wider models budget against the raised per-kernel
+    vmem_limit_bytes that gnn/slotted_fused.py now sets (48 MiB target
+    — leaves room for the double-buffered block windows, which also
+    scale with nf, inside v5e's 128 MiB VMEM)."""
+    from .slotted_fused import fused_vmem_per_slotlane
+
+    per = fused_vmem_per_slotlane(max(nf, 16))
+    budget_mib = 15.0 if nf <= 16 else 48.0
     if window == 1:
-        return max(1, 13312 // (k_width * LANE))
+        # empirical w1 bound at nf=16 scaled by budget and per-lane cost
+        units = int(13312 * (budget_mib / 15.0) * (650.0 / per))
+        return max(1, units // (k_width * LANE))
     n_chunks = -(-n_cols // LANE) + q_chunks
     x_bytes = nf * n_chunks * LANE * 4
     if x_bytes > STREAM_X_BYTES:
         # kernel streams the per-group window instead (window_or_stream):
         # only the [nf, Qg, 128] scratch stays resident
         x_bytes = nf * q_chunks * LANE * 4
-    budget = int(15.0 * 2**20) - x_bytes
-    # 650 B/slot-lane: the 437 B calibration + the full-f32 (HIGHEST)
-    # matmul lowering's bf16-split scratch (round-2 precision pin; the
-    # prior 437 B model OOM'd at 23.4M/16M on the gate's n=2744 case)
-    return max(1, min(16, budget // (650 * k_width * LANE)))
+    budget = int(budget_mib * 2**20) - x_bytes
+    return max(1, min(16, int(budget // (per * k_width * LANE))))
 
 
 def build_slot_graph(

@@ -91,6 +91,32 @@ def fold_ffn(p: dict):
     )
 
 
+def fused_vmem_per_slotlane(nf: int) -> float:
+    """Scoped-VMEM bytes per slot-lane of the fused MP kernel, as a
+    function of feature width. Calibrated on v5e compile reports at two
+    widths: ~650 B at nf=16 (docs/PERF.md round-1n) and 17.65 MB at
+    gk=38/t=128/nf=48 i.e. ~3700 B incl. streaming scratch
+    (output/r20w48_infer.log — the w48 compile failure this model
+    fixes). Linear term = live [nf, m] f32 plane tensors; quadratic
+    term = the HIGHEST-precision matmul lowering's bf16-split scratch
+    (scales with the [nf, nf] weight tile)."""
+    return 22.4 * nf + 1.14 * nf * nf
+
+
+def _fused_vmem_limit(nf, ce, h, gk, t, x_resident_bytes) -> int | None:
+    """vmem_limit_bytes for the pallas_call, or None to keep the 16 MiB
+    default (16-wide production grids stay byte-identical). 1.25x
+    margin over the calibrated need; capped below v5e's 128 MiB so the
+    double-buffered block windows still fit."""
+    fmax = max(nf, ce, h)
+    need = fused_vmem_per_slotlane(fmax) * gk * t + x_resident_bytes
+    if need <= 15.5 * 2**20:
+        # within the legacy 15 MiB budget (fused_safe_group nf<=16):
+        # keep the default limit so proven grids stay byte-identical
+        return None
+    return min(int(need * 1.25), 112 * 2**20)
+
+
 def _dotT(w, q):
     """[C, H]^T @ [C, M] -> [H, M] (contract dim 0)."""
     return jax.lax.dot_general(
@@ -259,6 +285,15 @@ def fused_mp_layer(
         nf, ce, kp, grp, t, qg, gk, msg_norm, edge_norm,
         edge_residual, emit_edges, ng, g.window, stream_x,
     )
+    # wide GNNs (w48) exceed the default 16 MiB scoped-VMEM limit —
+    # raise it per-kernel from the calibrated byte model (VERDICT r3
+    # item 1: the w48 parity models' fused path must compile)
+    x_res = 0 if stream_x else xc.size * 4
+    lim = _fused_vmem_limit(nf, ce, msg_ffn.w1.shape[0], gk, t, x_res)
+    cp = (
+        None if lim is None
+        else pltpu.CompilerParams(vmem_limit_bytes=lim)
+    )
     with jax.enable_x64(False):
         agg, efo, ero = pl.pallas_call(
             kern,
@@ -268,6 +303,7 @@ def fused_mp_layer(
                 jax.ShapeDtypeStruct((n_steps, co, gk, t), jnp.float32),
                 jax.ShapeDtypeStruct((n_steps, co, gk, t), jnp.float32),
             ],
+            compiler_params=cp,
             interpret=interpret,
         )(g.group_base, g.onehot, g.lidx, mask, xi, ef, er, xc, *weights)
     agg_n = agg.transpose(0, 2, 3, 1).reshape(-1, h)[:n]

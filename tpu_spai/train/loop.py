@@ -189,6 +189,32 @@ def check_convergence(
     return stats
 
 
+def params_only_opt_state(opt_state, step: int):
+    """Warm-restart optimizer state for a params-only checkpoint: fresh
+    Adam moments, with ONLY the LR-schedule position
+    (ScaleByScheduleState.count) fast-forwarded to `step`.
+
+    scale_by_adam's count must stay 0: fast-forwarding it against
+    freshly zeroed mu/nu disables bias correction (1-beta^count ~= 1)
+    and amplifies the first post-restart updates ~(1-b1)/sqrt(1-b2)
+    ~= 3.2x — ADVICE r3 root-caused the documented 162->178 bunny
+    warm-restart regression to exactly this."""
+    import optax
+
+    def _is_sched(node):
+        return isinstance(node, optax.ScaleByScheduleState)
+
+    return jax.tree_util.tree_map(
+        lambda s: (
+            s._replace(count=jnp.asarray(step, s.count.dtype))
+            if _is_sched(s)
+            else s
+        ),
+        opt_state,
+        is_leaf=_is_sched,
+    )
+
+
 def timed_inference(workspace, params, batch: GraphBatch, repeat: int = 1):
     """Preconditioner-construction timing (~ inference_step,
     workspace.py:195-205): time the jitted GNN forward on device, then the
@@ -330,25 +356,21 @@ def fit(
             params = load_checkpoint(rp, params)
             start_epoch = int(str(rp.name).split("_")[-1]) + 1
             try:
+                # an `_opt` dir left incomplete by a killed segment
+                # raises orbax errors other than FileNotFoundError —
+                # pre-check and route every restore failure into the
+                # same warned params-only fallback (ADVICE r3)
+                if not Path(str(rp) + "_opt").exists():
+                    raise FileNotFoundError(str(rp) + "_opt")
                 opt_state = load_opt_state(rp, opt_state)
-            except FileNotFoundError:
-                # params-only checkpoint (the `_opt` sibling was pruned,
-                # e.g. only the best-epoch params were kept): warm-restart
-                # with fresh Adam moments but fast-forward every optax
-                # step counter so the LR schedule resumes at the right
-                # position instead of back at lr0.
+            except Exception as opt_exc:  # noqa: BLE001
                 step = start_epoch * steps_per_epoch
-
-                def _ff(x):
-                    if (hasattr(x, "dtype") and x.ndim == 0
-                            and jnp.issubdtype(x.dtype, jnp.integer)):
-                        return jnp.asarray(step, x.dtype)
-                    return x
-
-                opt_state = jax.tree_util.tree_map(_ff, opt_state)
+                opt_state = params_only_opt_state(opt_state, step)
                 log.warning(
-                    f"resume: no optimizer state next to {rp} — fresh "
-                    f"Adam moments, schedule fast-forwarded to step {step}"
+                    f"resume: optimizer state unusable next to {rp} "
+                    f"({type(opt_exc).__name__}: {opt_exc}) — fresh Adam "
+                    f"moments (bias correction warms up from count=0), "
+                    f"LR schedule fast-forwarded to step {step}"
                 )
             # fresh shuffling stream per segment (else every segment
             # replays the same batch-order sequence)
