@@ -484,7 +484,10 @@ for kind in ("spmv", "spmv_ds", "ds_dot", "f64_dot", "ds_axpy"):
     except Exception as exc:  # noqa: BLE001
         log(f"op {kind} failed: {exc}")
 
-with open("output/r3_prec_profile.json", "w") as f:
+import os as _os
+
+_out = _os.environ.get("PREC_PROFILE_OUT", "output/r3_prec_profile.json")
+with open(_out, "w") as f:
     json.dump(OUT, f, indent=2)
-log("wrote output/r3_prec_profile.json")
+log(f"wrote {_out}")
 print(json.dumps(OUT))

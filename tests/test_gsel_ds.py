@@ -234,3 +234,29 @@ def test_rr_grouped_matches_percycle():
         res[mode] = int(r.iters)
     # grouped may overshoot by < one group (16) plus normal rr jitter
     assert res["grouped"] <= res["percycle"] * 1.25 + 16, res
+
+
+def test_ds_add_cancellation_accuracy():
+    """Round-4 regression: the 'sloppy' double-single add degraded to
+    O(2^-24)-relative error under cancellation (x ~ -y), the regime of
+    CG's r -= alpha*q update — measured as a convergence REBOUND on
+    heat_r20 (485 vs the fp64 oracle's 339 iterations). The accurate
+    add must stay ~2^-47-relative in all sign patterns."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_spai.kernels.ds import ds_add, ds_from_f64, ds_to_f64
+
+    rng = np.random.default_rng(0)
+    a64 = rng.standard_normal(4096)
+    # near-cancelling partner: b ~ -a + 1e-6-relative perturbation
+    b64 = -a64 * (1.0 + 1e-6 * rng.standard_normal(4096))
+    A = ds_from_f64(jnp.asarray(a64))
+    B = ds_from_f64(jnp.asarray(b64))
+    s = np.asarray(ds_to_f64(ds_add(A, B)))
+    # oracle: the exact f64 sum of the ds-REPRESENTED inputs (input
+    # representation error is inherent to the format, not the add)
+    want = np.asarray(ds_to_f64(A)) + np.asarray(ds_to_f64(B))
+    rel = np.abs(s - want) / np.maximum(np.abs(want), 1e-300)
+    # sloppy add failed this at ~2^-24-relative; accurate add is ~2^-47
+    assert rel.max() < 1e-12, rel.max()

@@ -70,8 +70,23 @@ def ds_to_f64(x: DS):
 
 
 def ds_add(x: DS, y: DS) -> DS:
+    """Accurate (IEEE-style) double-single addition.
+
+    The previous 'sloppy' variant (e = e + x.lo + y.lo in ONE f32 add)
+    degrades to O(2^-24)-relative error under cancellation (x.hi ~
+    -y.hi) — exactly the regime of CG's r -= alpha*q update as the
+    residual decays. Measured consequence (round 4, heat_r20 sample,
+    kappa ~1e6): the rr/ds tiers' convergence REBOUNDED at the ~1e-5
+    level (7e-6 at iter 336 -> 1.2e-3 at 400 -> converged only at ~485
+    vs the fp64 oracle's 339; the same body in pure f64 is smooth).
+    The Briggs/Kahan-style add (two_sum on both components, two
+    renormalizations, ~20 flops vs 11) keeps ~2^-47 relative error in
+    all sign patterns; with it the ds trajectory tracks fp64."""
     s, e = two_sum(x.hi, y.hi)
-    e = e + x.lo + y.lo
+    t, f = two_sum(x.lo, y.lo)
+    e = e + t
+    s, e = quick_two_sum(s, e)
+    e = e + f
     hi, lo = quick_two_sum(s, e)
     return DS(hi, lo)
 
