@@ -39,7 +39,12 @@ from tpu_spai.config import cli_config
 from tpu_spai.data.batching import collate
 from tpu_spai.data.folder import split_dataset
 from tpu_spai.dist.partition import rcm_permutation
-from tpu_spai.gnn.slotted import fused_safe_group, slot_scatter, slotted_gnn_forward
+from tpu_spai.gnn.slotted import (
+    fused_safe_group,
+    gnn_width_from_params,
+    slot_scatter,
+    slotted_gnn_forward,
+)
 from tpu_spai.gnn.slotted_block import (
     build_block_slot_layout,
     expand_block_planes,
@@ -146,7 +151,8 @@ impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 if impl == "pallas":
     pat = layout.sg.pattern
     gsafe = fused_safe_group(
-        pat.k_width, pat.n_cols, window=pat.window, q_chunks=pat.q_chunks
+        pat.k_width, pat.n_cols, nf=gnn_width_from_params(params),
+        window=pat.window, q_chunks=pat.q_chunks,
     )
     if layout.sg.pattern.group > gsafe:
         layout = build_block_slot_layout(

@@ -118,15 +118,17 @@ def main():
         def body(c, _):
             p2 = jax.tree_util.tree_map(lambda w: w + c * 1e-30, params)
             if kind == "fwd":
-                v = ws.loss(p2, batch)[0][0]
+                v = jnp.asarray(ws.loss(p2, batch)[0]).ravel()[0]
             elif kind == "grad":
                 (v, _), g = jax.value_and_grad(ws.loss, has_aux=True)(
                     p2, batch)
-                v = v[0] + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+                v = jnp.asarray(v).ravel()[0] \
+                    + jax.tree_util.tree_leaves(g)[0].ravel()[0]
             else:  # grad_noremat
                 (v, _), g = jax.value_and_grad(ws_nr.loss, has_aux=True)(
                     p2, batch)
-                v = v[0] + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+                v = jnp.asarray(v).ravel()[0] \
+                    + jax.tree_util.tree_leaves(g)[0].ravel()[0]
             return c + v * 1e-30, v
 
         _, vs = jax.lax.scan(body, jnp.float32(0.0), None, length=r)
@@ -146,7 +148,7 @@ def main():
             (lv, _), g = jax.value_and_grad(ws.loss, has_aux=True)(p, batch)
             upd, o = tx.update(g, o, p)
             p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
-            return (p, o), lv[0]
+            return (p, o), jnp.asarray(lv).ravel()[0]
 
         (_, _), ls = jax.lax.scan(body, (params, opt), None, length=r)
         return ls[-1]
@@ -165,12 +167,12 @@ def main():
 
     p, o = params, opt0
     p, o, lv = step1(p, o, batch)
-    float(lv[0])
+    float(jnp.asarray(lv).ravel()[0])
     ts = []
     for _ in range(8):
         t0 = time.perf_counter()
         p, o, lv = step1(p, o, batch)
-        float(lv[0])
+        float(jnp.asarray(lv).ravel()[0])
         ts.append(time.perf_counter() - t0)
     out["step_wall_ms_min"] = round(min(ts) * 1e3, 1)
     out["step_wall_ms_med"] = round(sorted(ts)[len(ts) // 2] * 1e3, 1)

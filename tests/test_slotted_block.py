@@ -114,3 +114,46 @@ def test_block_slotted_factor_parity(scaled):
     np.testing.assert_allclose(
         got_r[:n_s], l_csr.T @ x, rtol=2e-4, atol=2e-4
     )
+
+
+def test_gsel_expansion_matches_take_lanes():
+    """Round-4: the gsel-formulated permutation gather must reproduce
+    the row-gather expansion bit-for-bit (same f32 values selected)."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.dist.partition import rcm_permutation
+    from tpu_spai.gnn.slotted_block import (
+        _take_lanes,
+        build_block_slot_layout,
+        expand_block_planes,
+    )
+    from tpu_spai.native import laplacian, lumped_mass
+
+    nodes, elems = unit_box_tet(7, 7, 7)
+    a = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(lumped_mass(nodes, elems))
+    )
+    a.sort_indices()
+    perm = rcm_permutation(a)
+    ap = a[perm][:, perm].tocsr()
+    ap.sort_indices()
+    coo = ap.tocoo()
+    n = ap.shape[0]
+    lay = build_block_slot_layout(coo.row, coo.col, n, 1)
+    assert lay is not None and lay.gf_f is not None, "gsel expansion absent"
+    rng = np.random.default_rng(0)
+    s_, gk, t = np.asarray(lay.sg.mask).shape
+    pf = jnp.asarray(
+        rng.standard_normal((s_, 1, gk, t)).astype(np.float32))
+    pr = jnp.asarray(
+        rng.standard_normal((s_, 1, gk, t)).astype(np.float32))
+    vf, vr = expand_block_planes(lay, pf, pr, impl="xla")
+    lay0 = dataclasses.replace(lay, gf_f=None, gf_r=None)
+    vf0, vr0 = expand_block_planes(lay0, pf, pr)
+    np.testing.assert_array_equal(np.asarray(vf), np.asarray(vf0))
+    np.testing.assert_array_equal(np.asarray(vr), np.asarray(vr0))

@@ -191,8 +191,11 @@ def run_construct(res_list, out_dir="output/scale", reps=5):
 
         sg = build_slot_graph(coo.row, coo.col, coo.data, n)
         while True:
+            from ..gnn.slotted import gnn_width_from_params
+
             gsafe = fused_safe_group(
                 sg.pattern.k_width, sg.pattern.n_cols,
+                nf=gnn_width_from_params(params),
                 window=sg.pattern.window, q_chunks=sg.pattern.q_chunks,
             )
             if sg.pattern.group > gsafe:

@@ -295,11 +295,16 @@ def main(argv=None):
                                 ga_f, b_p, prec=prec_obj, **kw2
                             )
                         res_ = solve_()
-                        np.asarray(res_.x)
+                        np.asarray(res_.x)  # untimed full-x validation
                         t0_ = time.perf_counter()
                         for _ in range(repeat):
                             res_ = solve_()
-                            np.asarray(res_.x)
+                            # force with a SCALAR fetch: pulling the full
+                            # x through the relay costs ~4-40 ms at
+                            # 10-20 MB/s (tunnel artifact; the
+                            # reference's native timers keep x on
+                            # device — validate.py:80-86)
+                            np.asarray(res_.iters)
                         return (time.perf_counter() - t0_) / repeat, float(
                             res_.iters
                         )
@@ -814,11 +819,11 @@ def main(argv=None):
                                     spmv_precision=spmv_p, inv_diag=inv_d,
                                 )
                                 x_s, it_s, _rel, _cv = slot_solve()
-                                np.asarray(x_s)
+                                np.asarray(x_s)  # untimed validation
                                 t0 = time.perf_counter()
                                 for _ in range(repeat):
                                     x_s, it_s, _rel, _cv = slot_solve()
-                                    np.asarray(x_s)
+                                    np.asarray(it_s)  # scalar forcing
                                 wall = (time.perf_counter() - t0) / repeat
                                 # total (prec+solve) = the one-program
                                 # wall-clock; construction reported from
@@ -842,11 +847,11 @@ def main(argv=None):
                                     impl=impl, mixed=mx,
                                 )
                                 sres = slot_solve()
-                                np.asarray(sres.x)
+                                np.asarray(sres.x)  # untimed validation
                                 t0 = time.perf_counter()
                                 for _ in range(repeat):
                                     sres = slot_solve()
-                                    np.asarray(sres.x)
+                                    np.asarray(sres.iters)  # scalar
                                 dts = (time.perf_counter() - t0) / repeat
                                 s_iters = float(sres.iters)
                             stats.put(

@@ -39,8 +39,8 @@ from .slotted_block import BlockSlotLayout, _take_lanes
 
 
 @partial(jax.jit, static_argnames=("gnn_impl", "bb"))
-def _construct(params, sgb, perm_f, perm_r, lmask, xp, e_f, e_r,
-               sf, af, sr, ar, gnn_impl, bb):
+def _construct(params, sgb, perm_f, perm_r, gf_f, gf_r, lmask, xp, e_f,
+               e_r, sf, af, sr, ar, gnn_impl, bb):
     _, pf, pr = slotted_gnn_forward(
         params, sgb, xp, e_f, e_r, impl=gnn_impl, out_channels=bb
     )
@@ -51,18 +51,28 @@ def _construct(params, sgb, perm_f, perm_r, lmask, xp, e_f, e_r,
         return p.transpose(0, 2, 3, 1).reshape(-1)
 
     shape = lmask.shape
-    vf = _take_lanes(flat(pf), perm_f.reshape(-1)).reshape(shape) * lmask
-    vr = _take_lanes(flat(pr), perm_r.reshape(-1)).reshape(shape) * lmask
+    if gf_f is not None:
+        # gsel-formulated expansion (round 4): windowed select-gather
+        # instead of the 512 B/element row gather — 16 of the 28 ms
+        # n=50k construction (output/r4_prec50k_profile.json)
+        from ..solver.gsel_solver import gsel_matvec
+
+        use = "pallas" if gnn_impl in ("pallas", "fused") else "xla"
+        vf = gsel_matvec(gf_f, flat(pf), use).reshape(shape) * lmask
+        vr = gsel_matvec(gf_r, flat(pr), use).reshape(shape) * lmask
+    else:
+        vf = _take_lanes(flat(pf), perm_f.reshape(-1)).reshape(shape) * lmask
+        vr = _take_lanes(flat(pr), perm_r.reshape(-1)).reshape(shape) * lmask
     return vf * sf + af, vr * sr + ar
 
 
 @partial(jax.jit, static_argnames=("gnn_impl", "bb", "reps"))
-def _construct_chain(params, sgb, perm_f, perm_r, lmask, xp, e_f, e_r,
-                     sf, af, sr, ar, gnn_impl, bb, reps):
+def _construct_chain(params, sgb, perm_f, perm_r, gf_f, gf_r, lmask,
+                     xp, e_f, e_r, sf, af, sr, ar, gnn_impl, bb, reps):
     def body(xc, _):
         vf, vr = _construct(
-            params, sgb, perm_f, perm_r, lmask, xc, e_f, e_r, sf, af, sr,
-            ar, gnn_impl=gnn_impl, bb=bb,
+            params, sgb, perm_f, perm_r, gf_f, gf_r, lmask, xc, e_f, e_r,
+            sf, af, sr, ar, gnn_impl=gnn_impl, bb=bb,
         )
         # true data dependency the compiler cannot CSE away
         return xc + vf.ravel()[0] * 1e-30, vf.ravel()[0] + vr.ravel()[0]
@@ -75,12 +85,13 @@ def _construct_chain(params, sgb, perm_f, perm_r, lmask, xp, e_f, e_r,
     jax.jit,
     static_argnames=("gnn_impl", "bb", "impl", "a_ds", "k_inner"),
 )
-def _construct_solve(params, sgb, perm_f, perm_r, lmask, xp, e_f, e_r,
-                     sf, af, sr, ar, pattern, g_a, b64, eps, inv_diag,
-                     rtol, max_it, gnn_impl, bb, impl, a_ds, k_inner):
+def _construct_solve(params, sgb, perm_f, perm_r, gf_f, gf_r, lmask, xp,
+                     e_f, e_r, sf, af, sr, ar, pattern, g_a, b64, eps,
+                     inv_diag, rtol, max_it, gnn_impl, bb, impl, a_ds,
+                     k_inner):
     vf, vr = _construct(
-        params, sgb, perm_f, perm_r, lmask, xp, e_f, e_r, sf, af, sr, ar,
-        gnn_impl=gnn_impl, bb=bb,
+        params, sgb, perm_f, perm_r, gf_f, gf_r, lmask, xp, e_f, e_r, sf,
+        af, sr, ar, gnn_impl=gnn_impl, bb=bb,
     )
     lpl = dataclasses.replace(pattern, vals=vf)
     ltp = dataclasses.replace(pattern, vals=vr)
@@ -106,8 +117,8 @@ class SlotConstructor:
 
     def _args(self):
         lay = self.layout
-        return (self.params, lay.sg, lay.perm_f, lay.perm_r, lay.mask,
-                *self.ops)
+        return (self.params, lay.sg, lay.perm_f, lay.perm_r, lay.gf_f,
+                lay.gf_r, lay.mask, *self.ops)
 
     def construct(self):
         """(vals_fwd, vals_rev) factor planes — ONE dispatch."""

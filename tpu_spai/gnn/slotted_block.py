@@ -52,6 +52,13 @@ class BlockSlotLayout:
     perm_f: jax.Array  # int32 [S,GK,T] into flat [pos*b^2 + i*b+j]
     perm_r: jax.Array  # int32 [S,GK,T], channel-transposed (j*b+i)
     mask: jax.Array  # f32 [S,GK,T] valid-slot mask of the scalar grid
+    # gsel-formulated expansion gathers (round 4): the permutation
+    # perm_f/perm_r as 1-nnz-per-row gsel planes, so the plane expansion
+    # runs the windowed select-gather kernel instead of a 128-lane row
+    # gather (512 B/element — 16 ms of the 28 ms n=50k construction,
+    # output/r4_prec50k_profile.json). None = fall back to _take_lanes.
+    gf_f: Optional[GselPlanes] = None
+    gf_r: Optional[GselPlanes] = None
     b: int = _static(default=1)
     # host-only scalar coordinates per slot (flat, -1 on padding) for the
     # per-sample scale/add planes; excluded from the pytree leaves
@@ -131,12 +138,40 @@ def build_block_slot_layout(
         vals=jnp.zeros(ids_s.shape, jnp.float32),
         vals_lo=None,
     )
+
+    # gsel-formulated expansion permutation: one entry per valid dest
+    # slot at (dest_flat, src_flat); applied as a windowed select-gather
+    # (the _take_lanes row gather costs 512 B/element — dominant at
+    # n ~ 50k). Built pattern-only, once per topology.
+    def perm_planes(pidx):
+        n_dest = pidx.size
+        vmask = mask.reshape(-1) > 0
+        dst = np.flatnonzero(vmask)
+        src = pidx.reshape(-1)[dst]
+        src_len = int(
+            np.prod(np.asarray(jnp.shape(sg.mask))) * bb
+        )
+        pm = sp.csr_matrix(
+            (np.ones(len(dst), np.float32), (dst, src)),
+            shape=(n_dest, src_len),
+        )
+        # windows are wider than a matrix band (dest iterates K' faster
+        # than rows): a 512-chunk window is ~256 KB VMEM — cheap
+        return build_gsel_csr(pm, max_q=512)
+
+    gf_f = perm_planes(pf)
+    gf_r = perm_planes(pr) if gf_f is not None else None
+    if gf_r is None:
+        gf_f = None  # both or neither (shared code path)
+
     return BlockSlotLayout(
         sg=sg,
         pattern=pattern,
         perm_f=jnp.asarray(pf.astype(np.int32)),
         perm_r=jnp.asarray(pr.astype(np.int32)),
         mask=jnp.asarray(mask),
+        gf_f=gf_f,
+        gf_r=gf_r,
         b=b,
         srow=srow,
         scol=scol,
@@ -166,10 +201,15 @@ def _take_lanes(srcf: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def expand_block_planes(
-    layout: BlockSlotLayout, planes_f: jax.Array, planes_r: jax.Array
+    layout: BlockSlotLayout, planes_f: jax.Array, planes_r: jax.Array,
+    impl: Optional[str] = None,
 ):
     """Decoder plane tensors [S_b, b^2, GK_b, T_b] -> scalar-grid value
-    planes ([S,GK,T] f32) for L and L^T — two device takes."""
+    planes ([S,GK,T] f32) for L and L^T.
+
+    Uses the gsel-formulated permutation gather when the layout carries
+    it (windowed select — plane traffic ~bytes-proportional), else two
+    128-lane row-gather takes (512 B/element)."""
     bb = layout.b * layout.b
 
     def flat(p):
@@ -177,9 +217,18 @@ def expand_block_planes(
         assert c == bb
         return p.transpose(0, 2, 3, 1).reshape(-1)  # pos*b^2 + ch order
 
-    vf = _take_lanes(flat(planes_f), layout.perm_f.reshape(-1))
-    vr = _take_lanes(flat(planes_r), layout.perm_r.reshape(-1))
     shape = layout.mask.shape
+    if layout.gf_f is not None:
+        from ..solver.gsel_solver import gsel_matvec
+
+        if impl is None:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        use = impl if impl in ("pallas", "xla") else "xla"
+        vf = gsel_matvec(layout.gf_f, flat(planes_f), use)
+        vr = gsel_matvec(layout.gf_r, flat(planes_r), use)
+    else:
+        vf = _take_lanes(flat(planes_f), layout.perm_f.reshape(-1))
+        vr = _take_lanes(flat(planes_r), layout.perm_r.reshape(-1))
     return (
         vf.reshape(shape) * layout.mask,
         vr.reshape(shape) * layout.mask,

@@ -110,11 +110,16 @@ def _fused_vmem_limit(nf, ce, h, gk, t, x_resident_bytes) -> int | None:
     double-buffered block windows still fit."""
     fmax = max(nf, ce, h)
     need = fused_vmem_per_slotlane(fmax) * gk * t + x_resident_bytes
-    if need <= 15.5 * 2**20:
-        # within the legacy 15 MiB budget (fused_safe_group nf<=16):
-        # keep the default limit so proven grids stay byte-identical
+    if need <= 13.0 * 2**20:
+        # comfortably inside the legacy budget (fused_safe_group
+        # nf<=16): keep the default limit so proven grids stay
+        # byte-identical
         return None
-    return min(int(need * 1.25), 112 * 2**20)
+    # generous allowance: the byte model is per-grid-scheme calibrated
+    # (ng=1/w2) and ng=8/w1 grids run ~30% hotter (r4_queue2 probe:
+    # 19.75M actual at a 15.1M-modeled w16 ng8 shape) — headroom is
+    # cheap, a compile-time OOM is a lost device row
+    return min(max(int(need * 1.6), int(need) + 8 * 2**20), 112 * 2**20)
 
 
 def _dotT(w, q):
