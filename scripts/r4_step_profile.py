@@ -122,13 +122,17 @@ def main():
             elif kind == "grad":
                 (v, _), g = jax.value_and_grad(ws.loss, has_aux=True)(
                     p2, batch)
-                v = jnp.asarray(v).ravel()[0] \
-                    + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+                # consume EVERY grad leaf: touching only one lets XLA
+                # dead-code-eliminate most of the backward (~540 ms of
+                # it at this bucket — the source of the round-1k
+                # "3x sum-of-parts" artifact)
+                v = jnp.asarray(v).ravel()[0] + sum(
+                    q.ravel()[0] for q in jax.tree_util.tree_leaves(g))
             else:  # grad_noremat
                 (v, _), g = jax.value_and_grad(ws_nr.loss, has_aux=True)(
                     p2, batch)
-                v = jnp.asarray(v).ravel()[0] \
-                    + jax.tree_util.tree_leaves(g)[0].ravel()[0]
+                v = jnp.asarray(v).ravel()[0] + sum(
+                    q.ravel()[0] for q in jax.tree_util.tree_leaves(g))
             return c + v * 1e-30, v
 
         _, vs = jax.lax.scan(body, jnp.float32(0.0), None, length=r)

@@ -53,6 +53,12 @@ VARIANTS = {
         "mp8": ["gnn.num_mp_layers=8"],
         "w64": ["gnn_features=64"],
     },
+    # round-4: the long-budget hypothesis at the production w48-mp6
+    # recipe (VERDICT r3 item 7: capacity levers measured negative;
+    # epochs=650 x epochs_mult=4 = 2600 effective)
+    "synthetic_long": {
+        "base": [],
+    },
     # round-3: heat_tetmesh second attempt (w64_g999 gave 32.3 = w48)
     "heat_final2": {
         "w48_mp8": [

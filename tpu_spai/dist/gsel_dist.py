@@ -418,6 +418,7 @@ def dist_pcg_gsel_rr(
         ds_add,
         ds_axpy,
         ds_dot,
+        ds_dot_fast,
         ds_from_f64,
         ds_scale,
         ds_sub,
@@ -440,6 +441,11 @@ def dist_pcg_gsel_rr(
 
         def pdot(u, v):
             return jax.lax.psum(ds_dot(u, v), AXIS)
+
+        def pdot_fast(u, v):
+            # cheap inner-loop tier (see _rr_run_grouped): alpha/beta/
+            # early-exit only; the anchored exit keeps the full ds_dot
+            return jax.lax.psum(ds_dot_fast(u, v), AXIS)
 
         def mv_fast(v):
             y = _shard_gsel_spmv_overlap(pg, oh, li, va, gb, v.hi, impl)
@@ -496,16 +502,16 @@ def dist_pcg_gsel_rr(
         def inner_body(st):
             x, r, d, delta, rn2, it = st
             s = papply(r)
-            delta_new = pdot(r, s)
+            delta_new = pdot_fast(r, s)
             beta = ds_from_f64(delta_new / delta)
             d = ds_add(s, ds_scale(beta, d))
             q = mv_ds(d) if a_ds else mv_fast(d)
-            dq = pdot(d, q)
+            dq = pdot_fast(d, q)
             alpha = ds_from_f64(delta_new / dq)
             nalpha = DS(-alpha.hi, -alpha.lo)
             x = ds_axpy(alpha, d, x)
             r = ds_axpy(nalpha, q, r)
-            rn2 = pdot(r, r)
+            rn2 = pdot_fast(r, r)
             return x, r, d, delta_new, rn2, it + 1
 
         def outer_body(st):

@@ -117,6 +117,25 @@ def ds_axpy(a: DS, x: DS, y: DS) -> DS:
                                jnp.broadcast_to(a.lo, x.lo.shape)), x))
 
 
+def ds_dot_fast(x: DS, y: DS):
+    """Cheap inner-loop pair dot: f32 elementwise hi*hi + cross terms,
+    per-128-chunk f32 partials folded in f64 — ~f32-grade (1e-7)
+    relative accuracy at a fraction of the compensated ds_dot's op
+    count (the tree dot is ~7 VPU rounds; at n=9k it is 9.9 us of the
+    49.7 us rds iteration — 3 dots = 60%). Iteration-count-neutral for
+    the rr tiers' INNER dots (they only set alpha/beta and the
+    early-exit check; the anchored TRUE-residual exit keeps the full
+    ds_dot) — measured 149 = 149 on the worst-case heat sample
+    (docs/PERF.md round-4b)."""
+    p = x.hi * y.hi + x.hi * y.lo + x.lo * y.hi
+    pad = (-p.shape[0]) % 128
+    if pad:
+        p = jnp.pad(p, (0, pad))
+    return jnp.sum(
+        jnp.sum(p.reshape(-1, 128), axis=1).astype(jnp.float64)
+    )
+
+
 def ds_dot(x: DS, y: DS):
     """<x, y> -> f64 scalar: TwoProd per element, compensated (error-free
     pairwise TwoSum tree) partial sums, exact f64 combination of the
