@@ -443,9 +443,10 @@ def dist_pcg_gsel_rr(
             return jax.lax.psum(ds_dot(u, v), AXIS)
 
         def pdot_fast(u, v):
-            # cheap inner-loop tier (see _rr_run_grouped): alpha/beta/
-            # early-exit only; the anchored exit keeps the full ds_dot
-            return jax.lax.psum(ds_dot_fast(u, v), AXIS)
+            # REVERTED to the compensated tier (see _rr_run_grouped:
+            # chunk64 inner dots cost 1.45x iterations on the pallas
+            # path — output/r4_dots_ab.json)
+            return jax.lax.psum(ds_dot(u, v), AXIS)
 
         def mv_fast(v):
             y = _shard_gsel_spmv_overlap(pg, oh, li, va, gb, v.hi, impl)

@@ -825,25 +825,27 @@ def _rr_run_grouped(g_a, prec, b64, rtol_s, max_it, impl, k_inner,
     # the (x, r) update and the next s = M r — precisely where the
     # percycle variant slots its residual replacement, so anchoring
     # changes no other state and conjugacy chains through unchanged.
-    # INNER dots run the cheap chunk64 tier (ds_dot_fast): they only set
-    # alpha/beta and the early-exit check — the exit itself re-tests the
-    # anchored TRUE residual with the full compensated ds_dot, so
-    # stopping honesty is unchanged (iteration-count-neutral: 149 = 149
-    # on the worst-case heat sample; 3 tree dots were 60% of the rds
-    # iteration at n=9k — docs/PERF.md round-4b).
+    # INNER dots stay on the COMPENSATED ds_dot: the chunk64 tier
+    # (ds_dot_fast) was tried and REVERTED — on the pallas path it
+    # degrades the Krylov quality to 143-147 iterations vs the
+    # compensated tier's host-parity 98-100 on every flagship sample
+    # (output/r4_dots_ab.json; the CPU/xla path is insensitive because
+    # its own matvec rounding already dominates). f32-grade alpha/beta
+    # are NOT safe at this conditioning even though stopping honesty
+    # lives in the anchored exit.
     def inner_body(st):
         x, r, d, delta, rn2, it = st
         s = papply(r)
-        delta_new = ds_dot_fast(r, s)
+        delta_new = ds_dot(r, s)
         beta = ds_from_f64(delta_new / delta)
         d = ds_add(s, ds_scale(beta, d))
         q = mv_ds(g_a, d) if a_ds else mv_fast(g_a, d)
-        dq = ds_dot_fast(d, q)
+        dq = ds_dot(d, q)
         alpha = ds_from_f64(delta_new / dq)
         nalpha = DS(-alpha.hi, -alpha.lo)
         x = ds_axpy(alpha, d, x)
         r = ds_axpy(nalpha, q, r)
-        rn2 = ds_dot_fast(r, r)
+        rn2 = ds_dot(r, r)
         return x, r, d, delta_new, rn2, it + 1
 
     def outer_body(st):
