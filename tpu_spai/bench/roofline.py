@@ -81,8 +81,19 @@ def measure_stream_gbps(m_floats: int = 24 * 2**20, reps: int = 5) -> float:
         y, _ = jax.lax.scan(body, y, None, length=r)
         return y
 
-    t = measure_chain(lambda m: chain(y0, x, m), 8, 48, reps=reps)
-    return 3 * m_floats * 4 / t / 1e9
+    # best-of-attempts: a single differencing can straddle a worker
+    # phase boundary and report nonsense (observed 66.5 GB/s once while
+    # the SpMV seconds later streamed at 379 — output/r4_queue7.log);
+    # the denominator must be the ACHIEVABLE bandwidth of this session,
+    # so take the max over independent attempts and retry once more if
+    # everything looks implausibly low
+    best = 0.0
+    for attempt in range(3):
+        t = measure_chain(lambda m: chain(y0, x, m), 8, 48, reps=reps)
+        best = max(best, 3 * m_floats * 4 / t / 1e9)
+        if attempt >= 1 and best > 200.0:
+            break
+    return best
 
 
 def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
