@@ -122,3 +122,44 @@ def test_fem_field_scaling():
     l1, _ = native.assemble_p1(verts, elems, field=np.array([3.0]))
     l0, _ = native.assemble_p1(verts, elems)
     np.testing.assert_allclose(l1.toarray(), 3 * l0.toarray(), rtol=1e-14)
+
+
+def test_ainv_bounded_fill():
+    """Round-4: lfil bounds per-column fill and keeps the factorization
+    usable; small-system behavior (lfil=0) is unchanged."""
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.native import ainv, laplacian, lumped_mass
+
+    nodes, elems = unit_box_tet(7, 7, 7)
+    a = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(lumped_mass(nodes, elems))
+    )
+    a.sort_indices()
+    z0, p0 = ainv(a, droptol=0.05, lfil=0)
+    z1, p1 = ainv(a, droptol=0.05, lfil=8)
+    n = a.shape[0]
+    # the bound holds per column (csr-of-transpose: per row)
+    assert np.diff(sp.csc_matrix(z1).indptr).max() <= 8
+    assert z1.nnz <= z0.nnz
+    # both factors still precondition (bounded is weaker but works)
+    b = a @ np.ones(n)
+    for z, p in ((z0, p0), (z1, p1)):
+        zt = sp.csr_matrix(z.T)
+        pinv = 1.0 / p
+        it = 0
+
+        def cb(_):
+            nonlocal it
+            it += 1
+
+        op = spla.LinearOperator(
+            a.shape, matvec=lambda x: z @ (pinv * (zt @ x)),
+            dtype=np.float64,
+        )
+        x, info = spla.cg(a, b, M=op, rtol=1e-6, atol=0.0,
+                          maxiter=5000, callback=cb)
+        assert info == 0 and it < 400, (info, it)
