@@ -150,17 +150,22 @@ def main():
 
     # ---- 1) measured isolated SpMV roofline (items VERDICT-1) ----------
     # roofline_frac_normalized = spmv_gbps / co-measured STREAM gbps:
-    # phase-invariant on the shared worker (VERDICT r4 item 4; the
-    # 0.42-0.69 multi-session spread in docs/ROOFLINE.md §5 is worker
-    # phase, not kernel quality — both numbers ride the same phase here)
+    # phase-invariant on the shared worker (the 0.42-0.69 multi-session
+    # spread in docs/ROOFLINE.md §5 is worker phase, not kernel quality —
+    # both numbers ride the same phase here). VERDICT r4 weak item 1:
+    # the denominator is STREAM ONLY — the raw measurement and every
+    # attempt are recorded; if an SpMV rate exceeds measured STREAM we
+    # WARN and report the >1.0 fraction honestly instead of silently
+    # substituting the kernel under test into its own denominator.
     from tpu_spai.bench.roofline import measure_stream_gbps, spmv_roofline_row
 
     try:
-        stream = measure_stream_gbps()
+        stream, stream_attempts = measure_stream_gbps(return_attempts=True)
         log(f"co-measured STREAM: {stream:.0f} GB/s "
-            f"({100*stream/bw:.0f}% of nominal {bw:.0f})")
+            f"({100*stream/bw:.0f}% of nominal {bw:.0f}; attempts "
+            f"{[round(a, 1) for a in stream_attempts]})")
     except Exception as exc:  # noqa: BLE001
-        stream = None
+        stream, stream_attempts = None, []
         log(f"stream measurement failed: {exc}")
 
     rows = []
@@ -168,24 +173,30 @@ def main():
         row = spmv_roofline_row(res, hbm_gbps=bw, reps=5)
         if row:
             rows.append(row)
-    # a measured SpMV rate PROVES that bandwidth is achievable this
-    # session, so the normalization denominator is at least the best
-    # SpMV rate (guards against a phase-straddled STREAM differencing)
-    if rows:
-        stream_eff = max(
-            [stream or 0.0] + [r["gbps"] for r in rows]
-        )
-        detail["stream_gbps"] = round(stream_eff, 1)
-        for row in rows:
-            row["stream_gbps"] = round(stream_eff, 1)
-            row["roofline_frac_normalized"] = round(
-                row["gbps"] / stream_eff, 4
-            )
-            detail[f"spmv_n{row['n']}"] = row
-            log(f"SpMV n={row['n']}: {row['spmv_us']} us, "
-                f"{row['gbps']} GB/s ({100*row['roofline_frac']:.0f}% "
-                f"nominal, {100*row['roofline_frac_normalized']:.0f}% of "
-                f"stream)")
+    detail["stream_raw_gbps"] = round(stream, 1) if stream else None
+    detail["stream_attempts_gbps"] = [round(a, 1) for a in stream_attempts]
+    detail["stream_source"] = "stream" if stream else "failed"
+    if stream:
+        detail["stream_gbps"] = round(stream, 1)
+    for row in rows:
+        if stream:
+            row["stream_gbps"] = round(stream, 1)
+            row["roofline_frac_normalized"] = round(row["gbps"] / stream, 4)
+            if row["gbps"] > stream:
+                row["exceeds_stream"] = True
+                log(f"WARNING: SpMV n={row['n']} rate {row['gbps']} GB/s "
+                    f"exceeds measured STREAM {stream:.0f} GB/s — STREAM "
+                    f"differencing likely straddled a worker phase; "
+                    f"reporting the >1.0 fraction as-is")
+        else:
+            row["roofline_frac_normalized"] = None
+        detail[f"spmv_n{row['n']}"] = row
+        norm = row["roofline_frac_normalized"]
+        log(f"SpMV n={row['n']}: {row['spmv_us']} us, "
+            f"{row['gbps']} GB/s ({100*row['roofline_frac']:.0f}% "
+            f"nominal, "
+            + (f"{100*norm:.0f}% of stream)" if norm is not None
+               else "stream unavailable)"))
 
     # ---- 2) trained-model end-to-end (heat_r20 w48, rr tier) ----------
     # VERDICT r4 item 1: the e2e headline runs the FSAI-parity model

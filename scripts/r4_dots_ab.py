@@ -92,7 +92,7 @@ def main():
             if name == "full":
                 dsm.ds_dot_fast = dsm.ds_dot
             importlib.reload(gsol)
-            x64, iters, relres, conv = gsol._rr_grouped_jit(
+            x64, iters, relres, conv, _reb = gsol._rr_grouped_jit(
                 g,
                 gsol.GselSpaiPrec(gl, glt, jnp.float32(float(ws.epsilon)),
                                   impl=impl),

@@ -111,7 +111,7 @@ def test_fused_construct_and_solve():
 
     xstar = np.random.default_rng(3).standard_normal(n) * mask
     b = a_m @ xstar
-    x64, iters, relres, conv = sc.construct_and_solve(
+    x64, iters, relres, conv, _reb = sc.construct_and_solve(
         g_a, jnp.asarray(b), epsilon=1.0, rtol=1e-6, max_iter=5 * n,
         impl="xla", spmv_precision="f32",
     )

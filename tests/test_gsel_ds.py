@@ -260,3 +260,62 @@ def test_ds_add_cancellation_accuracy():
     rel = np.abs(s - want) / np.maximum(np.abs(want), 1e-300)
     # sloppy add failed this at ~2^-24-relative; accurate add is ~2^-47
     assert rel.max() < 1e-12, rel.max()
+
+
+def test_rr_rebound_detection_and_escalation():
+    """VERDICT r4 item 4: mask-rhs problems (||b|| ~ 1e-6 of
+    ||A||*||x||, the Laplacian annihilating the mask) put the f32-A rr
+    tier in the near-floor regime where its trajectory is bistable and
+    anchors rebound. The solver must (a) count the rebounds, (b) when
+    escalation fires, recover by re-running on the ds-A tier — still
+    converging honestly on the TRUE residual."""
+    import scipy.sparse as sp
+
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.dist.partition import rcm_permutation
+    from tpu_spai.native import laplacian, lumped_mass
+    from tpu_spai.solver.gsel_solver import build_gsel_csr, pcg_gsel_rr
+
+    nodes, elems = unit_box_tet(12, 12, 12)
+    a = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(1e-2 * lumped_mass(nodes, elems))
+    )
+    perm = rcm_permutation(a)
+    ap = a[perm][:, perm].tocsr()
+    ap.sort_indices()
+    n = ap.shape[0]
+    # the bad-branch forcing: mask rhs + 1e-12-relative perturbation
+    # (the trigger scale from docs/PERF.md round-4a)
+    rng = np.random.default_rng(0)
+    b64 = ap @ np.ones(n)
+    b64 = b64 + 1e-12 * np.linalg.norm(b64) / np.sqrt(n) * (
+        rng.standard_normal(n)
+    )
+    g = build_gsel_csr(ap, double_single=True)
+
+    r_f32 = pcg_gsel_rr(
+        g, jnp.asarray(b64), rtol=1e-6, max_iter=20000, impl="xla",
+        escalate_on_rebound=False,
+    )
+    # the near-floor regime rebounds on the f32-A tier (measured 3 on
+    # this operator) — the detection signal the escalation keys on
+    assert int(r_f32.rebounds) >= 1, int(r_f32.rebounds)
+    assert not r_f32.escalated
+
+    r_esc = pcg_gsel_rr(
+        g, jnp.asarray(b64), rtol=1e-6, max_iter=20000, impl="xla",
+        escalate_on_rebound="force",
+    )
+    assert bool(r_esc.escalated)
+    assert bool(r_esc.converged)
+    x = np.asarray(r_esc.x).reshape(-1)
+    true = np.linalg.norm(ap @ x - b64) / np.linalg.norm(b64)
+    assert true < 5e-6, true
+    # recovery = the escalated solve lands the ds-A trajectory
+    r_ds = pcg_gsel_rr(
+        g, jnp.asarray(b64), rtol=1e-6, max_iter=20000, impl="xla",
+        spmv_precision="ds_a", escalate_on_rebound=False,
+    )
+    assert int(r_esc.iters) == int(r_ds.iters), (
+        int(r_esc.iters), int(r_ds.iters)
+    )

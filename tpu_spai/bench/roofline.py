@@ -56,7 +56,9 @@ def measure_chain(fn, r1: int, r2: int, reps: int = 7) -> float:
     return (min(ts[r2]) - min(ts[r1])) / (r2 - r1)
 
 
-def measure_stream_gbps(m_floats: int = 24 * 2**20, reps: int = 5) -> float:
+def measure_stream_gbps(
+    m_floats: int = 24 * 2**20, reps: int = 5, return_attempts: bool = False
+):
     """Achievable HBM bandwidth via a chained axpby stream, measured
     IN-PROCESS — the phase-normalization denominator (VERDICT r3 weak
     item 1 / round-4 item 4).
@@ -87,12 +89,15 @@ def measure_stream_gbps(m_floats: int = 24 * 2**20, reps: int = 5) -> float:
     # the denominator must be the ACHIEVABLE bandwidth of this session,
     # so take the max over independent attempts and retry once more if
     # everything looks implausibly low
-    best = 0.0
+    attempts = []
     for attempt in range(3):
         t = measure_chain(lambda m: chain(y0, x, m), 8, 48, reps=reps)
-        best = max(best, 3 * m_floats * 4 / t / 1e9)
-        if attempt >= 1 and best > 200.0:
+        attempts.append(3 * m_floats * 4 / t / 1e9)
+        if attempt >= 1 and max(attempts) > 200.0:
             break
+    best = max(attempts)
+    if return_attempts:
+        return best, attempts
     return best
 
 

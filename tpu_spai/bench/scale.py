@@ -80,6 +80,10 @@ def run(res_list, precisions, out_dir="output/scale", reps=5):
                 solve = lambda m, pp=None: pcg_gsel_rr(  # noqa: E731
                     g, b64, prec=pp, rtol=1e-30 if m else 1e-6,
                     max_iter=m or 20000, impl="pallas",
+                    # per-iteration timing study: forced-nonconverged
+                    # runs (rtol=1e-30) would always "rebound" — the
+                    # recovery retry must not pollute the timing
+                    escalate_on_rebound=False,
                 )
                 pr = GselSpaiPrec(gl, gl, jnp.float32(3e-3))
             else:

@@ -277,11 +277,34 @@ def main(argv=None):
                             spmv_p = (
                                 "ds_a" if dev_prec == "rds" else "f32"
                             )
-                            solve_ = lambda: pcg_gsel_rr(  # noqa: E731
-                                ga_f, b_p.astype(jnp.float64), prec=prec_obj,
-                                rtol=rtol, max_iter=msize, impl=impl,
-                                spmv_precision=spmv_p,
-                            )
+
+                            def _mk_rr(sp):
+                                return lambda: pcg_gsel_rr(
+                                    ga_f, b_p.astype(jnp.float64),
+                                    prec=prec_obj, rtol=rtol,
+                                    max_iter=msize, impl=impl,
+                                    spmv_precision=sp,
+                                    escalate_on_rebound=False,
+                                )
+
+                            solve_ = _mk_rr(spmv_p)
+                            if spmv_p == "f32" and impl == "pallas":
+                                # probe-then-pin rebound recovery
+                                # (VERDICT r4 item 4; pallas-only — the
+                                # xla/CPU path's matvec rounding makes
+                                # the counter noisy on healthy solves)
+                                from ..solver.gsel_solver import (
+                                    REBOUND_ESCALATE_THRESHOLD as _RT,
+                                )
+
+                                pr_ = solve_()
+                                if int(pr_.rebounds) >= _RT:
+                                    log.info(
+                                        "    rr rebound "
+                                        f"x{int(pr_.rebounds)} detected "
+                                        "- escalating device row to rds"
+                                    )
+                                    solve_ = _mk_rr("ds_a")
                         else:
                             kw2 = dict(rtol=rtol, max_iter=msize, impl=impl)
                             if ds:
@@ -547,6 +570,14 @@ def main(argv=None):
                                 ppos = lay["ppos"]
                                 coo_a = a_csr.tocoo()
                                 n_a = a_csr.nnz
+                                # ids round-trip through f32 gsel value
+                                # planes — exact only below 2^24
+                                # (mirrors build_ic_layout's assert;
+                                # ADVICE r4)
+                                assert n_a + 1 < 2**24, (
+                                    f"A nnz {n_a} too large for f32-exact "
+                                    "entry ids in the IC device row"
+                                )
                                 ida = _sp2.csr_matrix(
                                     (np.arange(1, n_a + 1, dtype=np.float64),
                                      (ppos[coo_a.row], ppos[coo_a.col])),
@@ -812,17 +843,44 @@ def main(argv=None):
                                 spmv_p = (
                                     "ds_a" if dev_prec == "rds" else "f32"
                                 )
-                                slot_solve = lambda: sc.construct_and_solve(  # noqa: E731
-                                    apl, b_slot,
-                                    epsilon=float(workspace.epsilon),
-                                    rtol=rtol, max_iter=msize, impl=impl,
-                                    spmv_precision=spmv_p, inv_diag=inv_d,
-                                )
-                                x_s, it_s, _rel, _cv = slot_solve()
+                                def _mk_slot_solve(sp):
+                                    return lambda: sc.construct_and_solve(
+                                        apl, b_slot,
+                                        epsilon=float(workspace.epsilon),
+                                        rtol=rtol, max_iter=msize,
+                                        impl=impl, spmv_precision=sp,
+                                        inv_diag=inv_d,
+                                    )
+
+                                slot_solve = _mk_slot_solve(spmv_p)
+                                x_s, it_s, _rel, _cv, n_reb = slot_solve()
                                 np.asarray(x_s)  # untimed validation
+                                # probe-then-pin rebound recovery
+                                # (VERDICT r4 item 4): a rebounding f32-A
+                                # trajectory (bad branch of the mask-rhs
+                                # bistability) pins this sample's timed
+                                # tier to ds_a (rds)
+                                from ..solver.gsel_solver import (
+                                    REBOUND_ESCALATE_THRESHOLD as _RT,
+                                )
+
+                                if (spmv_p == "f32" and impl == "pallas"
+                                        and int(n_reb) >= _RT):
+                                    log.info(
+                                        f"    rr rebound x{int(n_reb)} "
+                                        "detected - escalating fused "
+                                        "solve to rds"
+                                    )
+                                    slot_solve = _mk_slot_solve("ds_a")
+                                    x_s, it_s, _rel, _cv, n_reb = (
+                                        slot_solve()
+                                    )
+                                    np.asarray(x_s)
                                 t0 = time.perf_counter()
                                 for _ in range(repeat):
-                                    x_s, it_s, _rel, _cv = slot_solve()
+                                    x_s, it_s, _rel, _cv, n_reb = (
+                                        slot_solve()
+                                    )
                                     np.asarray(it_s)  # scalar forcing
                                 wall = (time.perf_counter() - t0) / repeat
                                 # total (prec+solve) = the one-program

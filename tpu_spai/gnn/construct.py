@@ -153,8 +153,10 @@ class SlotConstructor:
                             k_inner: int = 16):
         """Fused construction + grouped-anchor rr/rds PCG: one program.
 
-        Returns (x64, iters, relres, converged) device arrays — fetch
-        x to force execution."""
+        Returns (x64, iters, relres, converged, rebounds) device arrays
+        — fetch x to force execution. ``rebounds > 0`` on the f32-A
+        tier flags the bad-branch anchor-noise trajectory (docs/PERF.md
+        round-4a); callers should re-run with spmv_precision='ds_a'."""
         assert g_a.vals_lo is not None, "build g_a with double_single=True"
         return _construct_solve(
             *self._args(), self.layout.pattern,

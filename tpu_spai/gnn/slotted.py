@@ -104,7 +104,11 @@ def fused_safe_group(
     scale with nf, inside v5e's 128 MiB VMEM)."""
     from .slotted_fused import fused_vmem_per_slotlane
 
-    per = fused_vmem_per_slotlane(max(nf, 16))
+    # nf<=16 pins per-lane cost to the EMPIRICALLY PROVEN 650 B
+    # constant (not the analytic 650.24 estimate) so production grids
+    # and gate decisions at the proven width are byte-for-byte
+    # identical to the pre-width-aware sizing (ADVICE r4)
+    per = 650.0 if nf <= 16 else fused_vmem_per_slotlane(nf)
     budget_mib = 15.0 if nf <= 16 else 48.0
     if window == 1:
         # empirical w1 bound at nf=16 scaled by budget and per-lane cost

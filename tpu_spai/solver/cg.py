@@ -42,6 +42,11 @@ class CGResult(NamedTuple):
     iters: jax.Array  # int32 iteration count
     relres: jax.Array  # final ||r|| / ||b||
     converged: jax.Array  # bool
+    # rr-tier diagnostics (VERDICT r4 item 4): anchor groups where the
+    # TRUE residual increased (bad-branch signature), and whether the
+    # solve was re-run on the ds-A tier to recover
+    rebounds: int = 0
+    escalated: bool = False
 
 
 def _dot(a: jax.Array, b: jax.Array, dtype) -> jax.Array:

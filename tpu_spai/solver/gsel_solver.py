@@ -849,7 +849,7 @@ def _rr_run_grouped(g_a, prec, b64, rtol_s, max_it, impl, k_inner,
         return x, r, d, delta_new, rn2, it + 1
 
     def outer_body(st):
-        x, r, d, delta, rn2_true, it, _conv = st
+        x, r, d, delta, rn2_true, it, _conv, n_reb = st
         anchor = rn2_true
         it0 = it
 
@@ -869,20 +869,39 @@ def _rr_run_grouped(g_a, prec, b64, rtol_s, max_it, impl, k_inner,
         # group's first body recomputes s/delta/d from this replaced r)
         r = ds_sub(bds, mv_ds(g_a, x))
         rn2_true = ds_dot(r, r)
-        return x, r, d, delta, rn2_true, it, rn2_true <= tol2
+        # rebound detection (VERDICT r4 item 4): an unconverged TRUE
+        # residual INCREASING across an anchor group is the bad-branch
+        # signature of the near-floor mask-rhs pathology (109<->149
+        # bistability, docs/PERF.md round-4a) — anchor-replacement
+        # noise re-perturbing the Krylov chain. Counted here; the
+        # caller escalates the solve to the ds-A tier when it fires.
+        n_reb = n_reb + jnp.where(
+            (rn2_true > anchor) & (rn2_true > tol2), 1, 0
+        ).astype(jnp.int32)
+        return x, r, d, delta, rn2_true, it, rn2_true <= tol2, n_reb
 
     def outer_cond(st):
         rn2_true, it, conv = st[4], st[5], st[6]
         return jnp.logical_and(~conv, it < max_it)
 
-    st = (x0, r0, d0, jnp.float64(1.0), rn0, jnp.int32(0), rn0 <= tol2)
-    x, r, _, _, rn2, iters, conv = jax.lax.while_loop(
+    st = (x0, r0, d0, jnp.float64(1.0), rn0, jnp.int32(0), rn0 <= tol2,
+          jnp.int32(0))
+    x, r, _, _, rn2, iters, conv, n_reb = jax.lax.while_loop(
         outer_cond, outer_body, st
     )
     relres = jnp.sqrt(rn2 / jnp.maximum(bnorm2, jnp.finfo(jnp.float64).tiny))
     x64 = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
-    return x64, iters, relres, conv
+    return x64, iters, relres, conv, n_reb
 
+
+# escalate the f32-A rr tier to ds-A when >= this many anchor groups
+# showed a TRUE-residual increase (bad-branch signature, docs/PERF.md
+# round-4a). Calibrated on-TPU by scripts/r5_rebound_probe.py: the
+# good-branch pallas trajectory (iters = host oracle) anchors
+# monotonically; the CPU/xla path's own matvec rounding produces 1-2
+# benign rebounds on healthy solves, so callers on that path should
+# treat the counter as diagnostic only.
+REBOUND_ESCALATE_THRESHOLD = 1
 
 _rr_grouped_jit = jax.jit(
     _rr_run_grouped, static_argnames=("impl", "k_inner", "a_ds", "prec_ds")
@@ -899,6 +918,7 @@ def pcg_gsel_rr(
     impl: str = "pallas",
     spmv_precision: str = "f32",
     anchor: str = "grouped",  # 'grouped' (round-3) | 'percycle' (legacy)
+    escalate_on_rebound=True,  # True (auto: pallas only) | False | "force"
 ) -> CGResult:
     """Residual-replacement mixed-precision PCG: f32 iteration cost with
     HONEST fp64-grade stopping.
@@ -922,6 +942,18 @@ def pcg_gsel_rr(
     converged residual. Requires ds-built planes
     (build_gsel_csr(double_single=True)). Measured on v5e at heat
     n=15,625: 51 us/iteration vs 23 f32 / 90 ds.
+
+    Rebound recovery (VERDICT r4 item 4): on mask-rhs problems the f32-A
+    tier's iteration count is trajectory-bistable near the ds noise
+    floor (109<->149 under 1e-12 rhs perturbations; docs/PERF.md
+    round-4a). The grouped loop counts anchor groups where the TRUE
+    residual INCREASED (``CGResult.rebounds``); with
+    ``escalate_on_rebound`` (default: auto, pallas only — the xla/CPU
+    counter is noisy on healthy solves) a rebounding f32-A solve is
+    re-run on the ds-A tier, whose fp64-grade Krylov directions do not
+    exhibit the bistability (``CGResult.escalated=True``; wall-clock
+    honestly includes both attempts). Pass ``"force"`` to escalate
+    regardless of impl (tests), False to disable (timing studies).
     """
     assert g_a.vals_lo is not None, "build with double_single=True"
     if isinstance(prec, (GselSpaiPrec, GselSpaiPrecDS)) and prec.impl != impl:
@@ -933,13 +965,36 @@ def pcg_gsel_rr(
         # round-3 default: group-anchored loop — no per-iteration branch
         # (the legacy percycle cond cost ~21 us/iter on-chip even when
         # the anchor was not taken; output/r3_prec_profile.json)
-        x64, iters, relres, conv = _rr_grouped_jit(
+        x64, iters, relres, conv, n_reb = _rr_grouped_jit(
             g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter), impl,
             16, a_ds=a_ds, prec_ds=prec_ds,
         )
+        want_esc = (
+            escalate_on_rebound == "force"
+            or (bool(escalate_on_rebound) and impl == "pallas")
+        )
+        if (want_esc and not a_ds
+                and int(n_reb) >= REBOUND_ESCALATE_THRESHOLD):
+            # bad-branch recovery (VERDICT r4 item 4): the f32-A rr
+            # trajectory rebounded across >=1 anchor — re-run with the
+            # double-single A-matvec (rds), whose Krylov directions are
+            # fp64-grade and do not exhibit the bistability. The caller's
+            # wall-clock honestly includes both attempts; the reported
+            # iteration count is the recovered solve's.
+            x64, iters, relres, conv, n_reb = _rr_grouped_jit(
+                g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter),
+                impl, 16, a_ds=True, prec_ds=prec_ds,
+            )
+            return CGResult(
+                x=x64, iters=iters, relres=relres, converged=conv,
+                rebounds=n_reb, escalated=True,
+            )
     else:
         x64, iters, relres, conv = _rr_run_jit(
             g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter), impl,
             int(replace_every), a_ds=a_ds, prec_ds=prec_ds,
         )
-    return CGResult(x=x64, iters=iters, relres=relres, converged=conv)
+        n_reb = jnp.int32(0)
+    return CGResult(
+        x=x64, iters=iters, relres=relres, converged=conv, rebounds=n_reb
+    )

@@ -358,12 +358,17 @@ def fit(
             try:
                 # an `_opt` dir left incomplete by a killed segment
                 # raises orbax errors other than FileNotFoundError —
-                # pre-check and route every restore failure into the
-                # same warned params-only fallback (ADVICE r3)
+                # pre-check and route restore failures into the same
+                # warned params-only fallback (ADVICE r3). ADVICE r4:
+                # only the expected missing/corrupt-checkpoint error
+                # types take the degraded fallback; anything else (a
+                # genuine bug) propagates instead of silently
+                # discarding the Adam moments.
                 if not Path(str(rp) + "_opt").exists():
                     raise FileNotFoundError(str(rp) + "_opt")
                 opt_state = load_opt_state(rp, opt_state)
-            except Exception as opt_exc:  # noqa: BLE001
+            except (FileNotFoundError, OSError, ValueError, KeyError,
+                    TypeError) as opt_exc:
                 step = start_epoch * steps_per_epoch
                 opt_state = params_only_opt_state(opt_state, step)
                 log.warning(
