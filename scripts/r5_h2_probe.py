@@ -52,6 +52,7 @@ def probe_one(ck: str):
             "exp_name=stretch_armadillo4_h2", "data.prefix=generated/stretch_armadillo4_h2",
             "data.block_size=3", "workspace=scaled", "gnn_features=48",
             "check_methods=[diagonal]", "check_devices=[cpu]",
+            "backend=cpu",  # host rows only — no pseudo-device rows
             f"pretrained={stage}", "max_samples=2", "repeat=1", "warmup=0",
             f"out_dir={out_dir}",
         ])

@@ -107,13 +107,16 @@ def test_slotted_forward_parity(pre_norm):
 
 
 @pytest.mark.parametrize("pre_norm", ["none", "layer"])
-def test_fused_forward_parity(pre_norm):
-    # fused Pallas MP kernel (interpret mode) vs the XLA slotted path
+@pytest.mark.parametrize("width", [16, 48])
+def test_fused_forward_parity(pre_norm, width):
+    # fused Pallas MP kernel (interpret mode) vs the XLA slotted path;
+    # width 48 exercises the stacked stage-1 path (VERDICT r4 item 6)
     ap, rows, cols, vals, nf, ef = _graph()
     n = ap.shape[0]
     mlp = {"pre_norm": pre_norm}
     gnn = NodeEdgeProcessing(
         edge_out_features=1, num_mp_layers=2,
+        node_features=width, edge_features=width,
         node_mlp=mlp, edge_mlp=mlp, msg_mlp=mlp,
     )
     ei = jnp.asarray(np.stack([rows, cols]).astype(np.int32))

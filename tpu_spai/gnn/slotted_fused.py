@@ -103,13 +103,18 @@ def fused_vmem_per_slotlane(nf: int) -> float:
     return 22.4 * nf + 1.14 * nf * nf
 
 
-def _fused_vmem_limit(nf, ce, h, gk, t, x_resident_bytes) -> int | None:
+def _fused_vmem_limit(nf, ce, h, gk, t, x_resident_bytes,
+                      stacked: bool = False) -> int | None:
     """vmem_limit_bytes for the pallas_call, or None to keep the 16 MiB
     default (16-wide production grids stay byte-identical). 1.25x
     margin over the calibrated need; capped below v5e's 128 MiB so the
     double-buffered block windows still fit."""
     fmax = max(nf, ce, h)
     need = fused_vmem_per_slotlane(fmax) * gk * t + x_resident_bytes
+    if stacked:
+        # stage-1 stacking holds the [3H,M]/[2H,M]/[H,M] dot results
+        # live simultaneously (~9H extra floats per slot-lane)
+        need += 9 * h * 4 * gk * t
     if need <= 13.0 * 2**20:
         # comfortably inside the legacy budget (fused_safe_group
         # nf<=16): keep the default limit so proven grids stay
@@ -122,12 +127,26 @@ def _fused_vmem_limit(nf, ce, h, gk, t, x_resident_bytes) -> int | None:
     return min(max(int(need * 1.6), int(need) + 8 * 2**20), 112 * 2**20)
 
 
+# FFN matmul precision (learned-weight contractions only — the gather
+# dot stays HIGHEST: it is an exact selection and the kernel gate
+# asserts it bit-exact). HIGHEST = 6-pass bf16 (f32+ semantics, the
+# round-2 gate default); "high" = 3-pass (~1e-6-relative of f32, 2x
+# fewer MXU passes). Overridable for on-chip A/B via
+# TPU_SPAI_FFN_PRECISION=high|highest (scripts/r5_w48_fwd_ab.py).
+import os as _os
+
+_FFN_PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("TPU_SPAI_FFN_PRECISION", "highest").lower()]
+
+
 def _dotT(w, q):
     """[C, H]^T @ [C, M] -> [H, M] (contract dim 0)."""
     return jax.lax.dot_general(
         w, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_FFN_PRECISION,
     )
 
 
@@ -154,7 +173,8 @@ _W_FIELDS = ("w0", "bconst", "sw", "w1", "b1", "w2", "b2")
 
 
 def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
-               edge_residual, emit_edges, ng=1, window=1, stream_x=False):
+               edge_residual, emit_edges, ng=1, window=1, stream_x=False,
+               stacked=False):
     m = gk * t
     mc = grp * t
     nw = len(_W_FIELDS)
@@ -162,8 +182,12 @@ def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
     def kernel(base_ref, oh_ref, l_ref, mask_ref, xi_ref, ef_ref, er_ref,
                x_ref, *rest):
         wrefs = rest[: 2 * nw]
-        outs = rest[2 * nw : 2 * nw + 3]
-        scratch = rest[2 * nw + 3 :]
+        off = 2 * nw
+        if stacked:
+            w0xi_r, w0gj_r, w0e_r, w0er_r = rest[off : off + 4]
+            off += 4
+        outs = rest[off : off + 3]
+        scratch = rest[off + 3 :]
         agg_ref = outs[0]
         msg_w = {k: wrefs[i][...] for i, k in enumerate(_W_FIELDS)}
         edge_w = {k: wrefs[nw + i][...] for i, k in enumerate(_W_FIELDS)}
@@ -181,6 +205,71 @@ def _mp_kernel(nf, ce, kp, grp, t, qg, gk, msg_norm_flag, edge_norm_flag,
 
         ef = ef_ref[0].reshape(ce, m)
         mask = mask_ref[0].reshape(1, m)
+
+        if stacked and emit_edges:
+            # wide-width stage-1 stacking (VERDICT r4 item 6): the three
+            # FFNs' Dense_0 contractions share inputs — stack their
+            # weights along the OUTPUT axis so each input part is
+            # contracted ONCE into a [3H, M] result instead of three
+            # narrow [H, M] dots (at H=48 each narrow dot uses ~48/128
+            # of the MXU rows; the stacked dot fills them). Math is
+            # identical per output element — only the dot grouping
+            # changes.
+            er = er_ref[0].reshape(ce, m)
+            hh = msg_w["w1"].shape[0]
+            dxi = _dotT(w0xi_r[...], xi)  # [3H, M]
+            dgj = _dotT(w0gj_r[...], gj)
+            de = _dotT(w0e_r[...], ef)  # [2H, M]
+            der = _dotT(w0er_r[...], er)  # [H, M]
+            pre_m = dxi[:hh] + dgj[:hh] + de[:hh]
+            pre_f = dxi[hh : 2 * hh] + dgj[hh : 2 * hh] + de[hh:]
+            pre_r = dxi[2 * hh :] + dgj[2 * hh :] + der
+            if msg_norm_flag or edge_norm_flag:
+                # shared pre-norm stats: msg and edge-fwd see the same
+                # (xi, gj, ef) multiset; the reverse edge swaps ef->er
+                # but keeps the xi+gj partial sums
+                c_tot = 2 * nf + ce
+                s1_xg = jnp.sum(xi, axis=0) + jnp.sum(gj, axis=0)
+                s2_xg = jnp.sum(xi * xi, axis=0) + jnp.sum(gj * gj, axis=0)
+                s1_f = s1_xg + jnp.sum(ef, axis=0)
+                s2_f = s2_xg + jnp.sum(ef * ef, axis=0)
+                mu_f = s1_f / c_tot
+                rs_f = jax.lax.rsqrt(s2_f / c_tot - mu_f * mu_f + 1e-6)
+            if msg_norm_flag:
+                pre_m = rs_f[None, :] * pre_m - (rs_f * mu_f)[None, :] * (
+                    msg_w["sw"]
+                )
+            if edge_norm_flag:
+                pre_f = rs_f[None, :] * pre_f - (rs_f * mu_f)[None, :] * (
+                    edge_w["sw"]
+                )
+                s1_r = s1_xg + jnp.sum(er, axis=0)
+                s2_r = s2_xg + jnp.sum(er * er, axis=0)
+                mu_r = s1_r / c_tot
+                rs_r = jax.lax.rsqrt(s2_r / c_tot - mu_r * mu_r + 1e-6)
+                pre_r = rs_r[None, :] * pre_r - (rs_r * mu_r)[None, :] * (
+                    edge_w["sw"]
+                )
+
+            def _tail(w, pre):
+                x1 = jax.nn.gelu(pre + w["bconst"])
+                x1 = jax.nn.gelu(_dotT(w["w1"], x1) + w["b1"])
+                return _dotT(w["w2"], x1) + w["b2"]
+
+            msg = _tail(msg_w, pre_m) * mask
+            h = msg.shape[0]
+            agg_ref[0] = jnp.sum(msg.reshape(h, kp, mc), axis=1).reshape(
+                h, grp, t
+            )
+            enf = _tail(edge_w, pre_f)
+            enr = _tail(edge_w, pre_r)
+            if edge_residual:
+                enf = ef + enf
+                enr = er + enr
+            co = enf.shape[0]
+            outs[1][0] = (enf * mask).reshape(co, gk, t)
+            outs[2][0] = (enr * mask).reshape(co, gk, t)
+            return
 
         msg = _ffn_apply(msg_w, (xi, gj, ef), (nf, nf, ce), msg_norm_flag)
         msg = msg * mask
@@ -256,6 +345,25 @@ def fused_mp_layer(
     weights = [getattr(msg_ffn, k) for k in _W_FIELDS] + [
         getattr(edge_ffn, k) for k in _W_FIELDS
     ]
+    # wide widths: stack the three Dense_0 contractions per input part
+    # (see _mp_kernel). nf<=16 keeps the proven per-part path (and its
+    # byte-identical production grids)
+    stacked = (
+        emit_edges and nf > 16
+        and msg_ffn.w1.shape[0] == edge_ffn.w1.shape[0]
+        and _os.environ.get("TPU_SPAI_FUSED_STACKED", "1") != "0"
+    )
+    if stacked:
+        m0, e0 = msg_ffn.w0, edge_ffn.w0
+        weights += [
+            jnp.concatenate(
+                [m0[:nf], e0[:nf], e0[nf : 2 * nf]], axis=1),  # xi
+            jnp.concatenate(
+                [m0[nf : 2 * nf], e0[nf : 2 * nf], e0[:nf]], axis=1),  # gj
+            jnp.concatenate(
+                [m0[2 * nf :], e0[2 * nf :]], axis=1),  # ef
+            e0[2 * nf :],  # er
+        ]
     ng = g.lane_groups
     from .slotted import STREAM_X_BYTES
 
@@ -288,13 +396,14 @@ def fused_mp_layer(
     )
     kern = _mp_kernel(
         nf, ce, kp, grp, t, qg, gk, msg_norm, edge_norm,
-        edge_residual, emit_edges, ng, g.window, stream_x,
+        edge_residual, emit_edges, ng, g.window, stream_x, stacked,
     )
     # wide GNNs (w48) exceed the default 16 MiB scoped-VMEM limit —
     # raise it per-kernel from the calibrated byte model (VERDICT r3
     # item 1: the w48 parity models' fused path must compile)
     x_res = 0 if stream_x else xc.size * 4
-    lim = _fused_vmem_limit(nf, ce, msg_ffn.w1.shape[0], gk, t, x_res)
+    lim = _fused_vmem_limit(nf, ce, msg_ffn.w1.shape[0], gk, t, x_res,
+                            stacked)
     cp = (
         None if lim is None
         else pltpu.CompilerParams(vmem_limit_bytes=lim)
