@@ -59,6 +59,36 @@ VARIANTS = {
     "synthetic_long": {
         "base": [],
     },
+    # round-5: heat_tetmesh — the axes never swept (VERDICT r4 weak #4:
+    # loss variant, matrix normalization, train-time epsilon,
+    # edge-feature aggregation); all on top of the production w48/g9975
+    "heat_axes": {
+        "base": ["scheduler.params.gamma=0.9975", "gnn_features=48"],
+        "loss_cg": [
+            "scheduler.params.gamma=0.9975", "gnn_features=48",
+            "loss.name=ConjGradLoss_ANorm",
+        ],
+        "loss_l2": [
+            "scheduler.params.gamma=0.9975", "gnn_features=48",
+            "loss.name=L2Loss_ANorm",
+        ],
+        "norm_none": [
+            "scheduler.params.gamma=0.9975", "gnn_features=48",
+            "data.normalize_matrix=none",
+        ],
+        "norm_frob": [
+            "scheduler.params.gamma=0.9975", "gnn_features=48",
+            "data.normalize_matrix=frob",
+        ],
+        "eps_1e3": [
+            "scheduler.params.gamma=0.9975", "gnn_features=48",
+            "epsilon=1.0e-3",
+        ],
+        "edge_mean": [
+            "scheduler.params.gamma=0.9975", "gnn_features=48",
+            "data.use_edge_features_as_node_feature=mean",
+        ],
+    },
     # round-3: heat_tetmesh second attempt (w64_g999 gave 32.3 = w48)
     "heat_final2": {
         "w48_mp8": [

@@ -110,6 +110,18 @@ def main(argv=None):
     # problem scales where a device path faults the shared TPU worker
     # (armadillo b=3; see r3_sessionA.log) the host rows must still land
     host_only = str(cfg.select("backend", "")) == "cpu"
+    if dist_n > 1 and not bool(cfg.select("dist_device_rows", False)):
+        # A dist run forces the CPU backend (below), so its "+TPU" rows
+        # would actually measure the xla-on-host solver tier — which
+        # exhibits the anchor-noise bad branch (149 vs host 101 iters,
+        # docs/PERF.md round-4a) that the real pallas path escapes via
+        # rebound escalation. Mislabeled rows helped nobody: dist runs
+        # now report host + NeuralDist rows only. Device-parity claims
+        # live in the real-TPU CSVs (e.g. output/heat_r20_w48). Override
+        # with dist_device_rows=true for the old behavior.
+        host_only = True
+        log.info("dist run: pseudo-device rows suppressed "
+                 "(dist_device_rows=false)")
     if dist_n > 1 or host_only:
         import os
 

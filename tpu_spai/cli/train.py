@@ -80,7 +80,13 @@ def main(argv=None):
         init_params=init_params,
     )
 
-    # test pass on the val split (reference: trainer.test on val loader)
+    # test pass on the val split (reference: trainer.test on val loader).
+    # skip_test=true skips it — used by intermediate segments of a
+    # segmented run (trainer.epochs_per_run), where the per-segment test
+    # pass costs minutes of TPU time without adding signal.
+    if bool(cfg.select("skip_test", False)):
+        log.info("skip_test=true: skipping end-of-run test pass")
+        return params
     from ..data.folder import split_dataset
 
     _, val_idx = split_dataset(len(dataset), cfg.split["train"], seed=42)
