@@ -18,8 +18,9 @@ q() {
   echo "=== rc=$? $(date +%H:%M:%S)" >> "$LOG"
 }
 
-# 1) bunny continuation to 800 (3 segments: 679, 759, 800)
-for i in 1 2 3; do
+# 1) bunny continuation to 800 (restart after the async-ckpt incident:
+#    resuming from the repaired epoch_0639; 2 segments: 719, 799)
+for i in 1 2; do
   [ -f output/r5_stop_bunny ] && break
   q timeout 3000 python -m tpu_spai.cli.train exp_name=heat_bunny \
     gnn_features=48 scheduler.params.gamma=0.9975 gnn.weight_init=torch \

@@ -231,3 +231,60 @@ def test_dist_pcg_gsel_rr_spai_prec():
     assert abs(int(r1.iters) - int(r_sd.iters)) <= max(
         3, 0.1 * int(r_sd.iters)
     ), (int(r1.iters), int(r_sd.iters))
+
+
+def test_dist_pcg_gsel_f64_matches_host_oracle():
+    """Round-5 native-f64 tier (the honest tier on host-simulated
+    meshes, where XLA:CPU fusion collapses ds pair arithmetic and makes
+    the rr tier's counts trajectory-bistable — kernels/ds.py caveat):
+    must match a host fp64 PCG with the SAME factor essentially
+    exactly, and reach the true residual."""
+    import scipy.sparse.linalg as spla
+
+    from tpu_spai.dist.gsel_dist import dist_pcg_gsel_f64
+    from tpu_spai.native import fsai
+
+    a = _fem()
+    n = a.shape[0]
+    p = 8
+    pg, perm = partition_gsel(a, p, double_single=True)
+    ap = a[perm][:, perm].tocsr()
+    lhat = sp.csr_matrix(fsai(ap).T)
+    pl, _ = partition_gsel(lhat, p, reorder=False, halo=pg.halo)
+    plt, _ = partition_gsel(sp.csr_matrix(lhat.T), p, reorder=False,
+                            halo=pg.halo)
+    b = a @ np.ones(n)
+    b_part = np.zeros(p * pg.chunk)
+    b_part[:n] = b[perm]
+    b_part = jnp.asarray(b_part.reshape(p, pg.chunk))
+
+    res = dist_pcg_gsel_f64(pg, b_part, pl=pl, plt=plt, epsilon=3e-3,
+                            rtol=1e-6, max_iter=5000)
+    assert bool(res.converged)
+    x_orig = np.empty(n)
+    x_orig[perm] = np.asarray(res.x, np.float64).reshape(-1)[:n]
+    rel = np.linalg.norm(a @ x_orig - b) / np.linalg.norm(b)
+    assert rel < 2e-6, rel
+
+    # host fp64 oracle: scipy CG with the SAME SPAI apply (f64)
+    lt64 = sp.csr_matrix(lhat.T, dtype=np.float64)
+    l64 = sp.csr_matrix(lhat, dtype=np.float64)
+    mop = spla.LinearOperator(
+        (n, n), matvec=lambda r: l64 @ (lt64 @ r) + 3e-3 * r
+    )
+    it = 0
+
+    def cb(_):
+        nonlocal it
+        it += 1
+
+    spla.cg(ap, b[perm], rtol=1e-6, maxiter=5000, M=mop, callback=cb)
+    # native f64 on both sides: counts must agree to rounding-order noise
+    assert abs(int(res.iters) - it) <= max(2, 0.03 * it), (
+        int(res.iters), it)
+
+    # determinism: a second run lands the identical count (the rr tier
+    # on this platform is bistable; f64 must not be)
+    res2 = dist_pcg_gsel_f64(pg, b_part, pl=pl, plt=plt, epsilon=3e-3,
+                             rtol=1e-6, max_iter=5000)
+    assert int(res2.iters) == int(res.iters)

@@ -1013,12 +1013,19 @@ def main(argv=None):
                     dpm_s = (
                         dpm[:, None] * b_sz2 + np.arange(b_sz2)[None, :]
                     ).reshape(-1)
-                    # rr tier (default): f64 RHS end-to-end — fp64-grade
-                    # stopping must not solve an f32-truncated system
-                    d_prec = str(cfg.select("dist_precision", "rr"))
+                    # f64 tier (default): this CLI row runs on a HOST-simulated
+                    # mesh (CPU backend forced above), where ds pair
+                    # arithmetic collapses under XLA:CPU fusion and the
+                    # rr tier's iteration count is trajectory-bistable
+                    # (103 vs 151 across sessions vs host 101 —
+                    # kernels/ds.py caveat). Native f64 reproduces the
+                    # host fp64 oracle deterministically; real TPU
+                    # meshes use the rr tier (dist_precision=rr).
+                    d_prec = str(cfg.select("dist_precision", "f64"))
                     bd = np.zeros(
                         dist_n * pgnn.pg_a.chunk,
-                        np.float64 if d_prec == "rr" else np.float32,
+                        np.float64 if d_prec in ("rr", "f64")
+                        else np.float32,
                     )
                     bd[:msize] = (a_csr @ r)[dpm_s]
                     dmesh = Mesh(

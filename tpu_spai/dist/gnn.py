@@ -448,7 +448,7 @@ def dist_neural_pcg(
     max_iter: int = 1000,
     impl: str = "pallas",
     mesh: Optional[jax.sharding.Mesh] = None,
-    precision: str = "rr",  # 'rr' (honest, default) | 'f32' (legacy)
+    precision: str = "rr",  # 'rr' (TPU) | 'f64' (host mesh) | 'f32'
 ):
     """Fully sharded neural solve: dist GNN construction + dist SPAI-PCG.
 
@@ -461,6 +461,20 @@ def dist_neural_pcg(
     double_single=True (partition_gnn_inference default)."""
     evals = dist_gnn_factor(model, params, pgnn, mesh=mesh)
     pl, plt = factor_planes(pgnn, evals)
+    if precision == "f64":
+        # honest tier on host-simulated meshes: ds pair arithmetic
+        # collapses under XLA:CPU fusion (kernels/ds.py caveat), making
+        # the rr tier's anchored trajectory bistable there; native f64
+        # reproduces the host oracle deterministically
+        from .gsel_dist import dist_pcg_gsel_f64
+
+        assert pgnn.pg_a.vals_lo is not None, (
+            "partition_gnn_inference(double_single=True) required for f64"
+        )
+        return dist_pcg_gsel_f64(
+            pgnn.pg_a, b, pl=pl, plt=plt, epsilon=epsilon, rtol=rtol,
+            max_iter=max_iter, mesh=mesh,
+        )
     if precision == "rr":
         assert pgnn.pg_a.vals_lo is not None, (
             "partition_gnn_inference(double_single=True) required for rr"

@@ -568,6 +568,168 @@ def dist_pcg_gsel_rr(
     return fn(*args)
 
 
+def _shard_gsel_spmv_f64(pg, oh, li, va, gb, x64, va_lo=None, axis=AXIS):
+    """True-f64 local SpMV: halo-exchange the f64 vector, then the
+    native-f64 gsel kernel on the extended frame (no pair split)."""
+    from ..kernels.gsel import gsel_spmv_f64_xla
+
+    ext = _halo_exchange(x64[:, None], pg.halo, axis)[:, 0]
+    g = pg.local_planes(oh, li, va, gb, va_lo=va_lo)
+    return gsel_spmv_f64_xla(g, ext)
+
+
+def dist_pcg_gsel_f64(
+    pg: PartitionedGsel,
+    b: jax.Array,  # [P, chunk] partitioned rhs
+    pl: Optional[PartitionedGsel] = None,  # factor L (f32 values)
+    plt: Optional[PartitionedGsel] = None,  # factor L^T
+    epsilon: float = 3e-3,
+    inv_diag: Optional[jax.Array] = None,  # [P, chunk]
+    rtol: float = 1e-6,
+    max_iter: int = 1000,
+    k_inner: int = 64,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> DistCGResult:
+    """Native-f64 distributed PCG — the honest tier for HOST-simulated
+    meshes (and a DCN/CPU fallback). On XLA:CPU the ds pair transforms
+    silently collapse under fused-loop FP contraction (kernels/ds.py
+    caveat), which makes `dist_pcg_gsel_rr`'s anchored trajectory
+    bistable there: the committed heat_r20 NeuralDist row measured 103
+    iters in one session and 151 in another against a host fp64 oracle
+    of 101 (output/heat_r20_dist history). f64 is NATIVE on CPU, so
+    this tier runs plain f64 state, f64 A-matvecs (A reconstructed
+    f64-exactly from its double-single planes, hi + lo), and f64
+    factor applies — deterministically reproducing the host oracle's
+    trajectory. True-residual re-anchoring every ``k_inner`` iterations
+    keeps stopping exact (the loop cannot exit unconverged). On real
+    TPU meshes f64 is 10-30x software-emulated — use
+    `dist_pcg_gsel_rr` there (reference fp64 semantics: validate.py:27).
+
+    Requires ``pg`` built with double_single=True (vals_lo planes)."""
+    from jax.sharding import PartitionSpec as P
+
+    assert pg.vals_lo is not None, "partition with double_single=True"
+    shard_map = _get_shard_map()
+    if mesh is None:
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[: pg.n_shards]), (AXIS,)
+        )
+    spec = P(AXIS)
+    eps = jnp.float64(epsilon)
+    rtol_s = jnp.float64(rtol)
+    max_it = jnp.int32(max_iter)
+
+    def local_body(oh, li, va, vlo, gb, b_l, *prec_args):
+        b_l = b_l[0].astype(jnp.float64)
+        oh, li, va, vlo, gb = oh[0], li[0], va[0], vlo[0], gb[0]
+
+        def pdot(u, v):
+            return jax.lax.psum(jnp.dot(u, v), AXIS)
+
+        def mv(v):
+            return _shard_gsel_spmv_f64(pg, oh, li, va, gb, v, va_lo=vlo)
+
+        if pl is not None:
+            loh, lli, lva, lgb, toh, tli, tva, tgb = [
+                q[0] for q in prec_args[:8]
+            ]
+            invd = (
+                prec_args[8][0].astype(jnp.float64)
+                if inv_diag is not None
+                else None
+            )
+
+            def papply(r):
+                lt_r = _shard_gsel_spmv_f64(plt, toh, tli, tva, tgb, r)
+                eps_r = eps * r
+                if invd is not None:
+                    lt_r = lt_r * invd
+                    eps_r = eps_r * invd
+                return _shard_gsel_spmv_f64(pl, loh, lli, lva, lgb, lt_r) + eps_r
+
+        elif inv_diag is not None:
+            invd = prec_args[0][0].astype(jnp.float64)
+
+            def papply(r):
+                return r * invd
+
+        else:
+
+            def papply(r):
+                return r
+
+        bnorm2 = pdot(b_l, b_l)
+        tiny = jnp.finfo(jnp.float64).tiny
+        tol2 = (rtol_s * rtol_s) * jnp.maximum(bnorm2, tiny)
+        x0 = jnp.zeros_like(b_l)
+        d0 = jnp.zeros_like(b_l)
+        rn0 = bnorm2
+
+        # rotated PCG body + group anchoring: see _rr_run_grouped
+        def inner_body(st):
+            x, r, d, delta, rn2, it = st
+            s = papply(r)
+            delta_new = pdot(r, s)
+            beta = delta_new / delta
+            d = s + beta * d
+            q = mv(d)
+            alpha = delta_new / pdot(d, q)
+            x = x + alpha * d
+            r = r - alpha * q
+            return x, r, d, delta_new, pdot(r, r), it + 1
+
+        def outer_body(st):
+            x, r, d, delta, rn2_true, it, _conv = st
+            anchor = rn2_true
+            it0 = it
+
+            def inner_cond(s2):
+                rn2, j = s2[4], s2[5]
+                return (
+                    (j < it0 + k_inner)
+                    & (j < max_it)
+                    & (rn2 > 0.0625 * anchor)
+                    & (rn2 > tol2)
+                )
+
+            x, r, d, delta, _rn2_rec, it = jax.lax.while_loop(
+                inner_cond, inner_body, (x, r, d, delta, rn2_true, it)
+            )
+            r = b_l - mv(x)
+            rn2_true = pdot(r, r)
+            return x, r, d, delta, rn2_true, it, rn2_true <= tol2
+
+        def outer_cond(st):
+            rn2_true, it, conv = st[4], st[5], st[6]
+            return jnp.logical_and(~conv, it < max_it)
+
+        st = (x0, b_l, d0, jnp.float64(1.0), rn0, jnp.int32(0), rn0 <= tol2)
+        x, r, _, _, rn2, iters, conv = jax.lax.while_loop(
+            outer_cond, outer_body, st
+        )
+        relres = jnp.sqrt(rn2 / jnp.maximum(bnorm2, tiny))
+        return DistCGResult(x[None], iters, relres, conv)
+
+    args = [pg.onehot, pg.lidx, pg.vals, pg.vals_lo, pg.group_base, b]
+    if pl is not None:
+        args += [pl.onehot, pl.lidx, pl.vals, pl.group_base,
+                 plt.onehot, plt.lidx, plt.vals, plt.group_base]
+        if inv_diag is not None:
+            args += [inv_diag]
+    elif inv_diag is not None:
+        args += [inv_diag]
+
+    out_specs = DistCGResult(spec, P(), P(), P())
+    fn = shard_map(
+        local_body,
+        mesh=mesh,
+        in_specs=tuple(spec for _ in args),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return fn(*args)
+
+
 def dist_pcg_gsel(
     pg: PartitionedGsel,
     b: jax.Array,  # [P, chunk] partitioned rhs (scatter_vector-style)

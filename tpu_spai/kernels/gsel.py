@@ -408,3 +408,40 @@ def gsel_spmv_ds_xla(g: GselPlanes, x_hi: jax.Array, x_lo: jax.Array):
     y_hi = y64.astype(jnp.float32)
     y_lo = (y64 - y_hi.astype(jnp.float64)).astype(jnp.float32)
     return y_hi, y_lo
+
+
+def gsel_spmv_f64_xla(g: GselPlanes, x64: jax.Array) -> jax.Array:
+    """True-f64 SpMV over the slot grid (host/CPU meshes): native f64
+    accumulation; A values are ``vals + vals_lo`` when the lo planes
+    exist (f64-exact double-single reconstruction) else the f32 vals
+    promoted exactly. Unlike `gsel_spmv_ds_xla` the input and result
+    stay f64 (no pair split, no x truncation) — the building block of
+    `dist_pcg_gsel_f64`, the honest tier on platforms where ds pair
+    arithmetic collapses under XLA:CPU fusion (see kernels/ds.py)."""
+    qg = g.q_chunks
+    grp, kp, t = g.group, g.k_width, g.tile
+    n_chunks = -(-g.n_cols // LANE) + qg
+    xbuf = jnp.zeros((n_chunks * LANE,), jnp.float64)
+    xbuf = xbuf.at[: g.n_cols].set(x64.reshape(-1).astype(jnp.float64))
+    xc = xbuf.reshape(n_chunks, LANE)
+    has_lo = g.vals_lo is not None
+
+    def step_body(carry, inp):
+        if has_lo:
+            oh, li, vh, vl, base = inp
+            v64 = vh.astype(jnp.float64) + vl.astype(jnp.float64)
+        else:
+            oh, li, vh, base = inp
+            v64 = vh.astype(jnp.float64)
+        xw = jax.lax.dynamic_slice(xc, (base, jnp.int32(0)), (qg, LANE))
+        gv = _select_gather_xla(g, oh, li, xw, jnp.float64)
+        y = jnp.sum((v64 * gv).reshape(kp, grp, t), axis=0)
+        return carry, y
+
+    ins = (
+        (g.onehot, g.lidx, g.vals, g.vals_lo, g.group_base)
+        if has_lo
+        else (g.onehot, g.lidx, g.vals, g.group_base)
+    )
+    _, ys = jax.lax.scan(step_body, None, ins)
+    return ys.reshape(-1)[: g.n_rows]

@@ -43,10 +43,18 @@ def save_checkpoint(ckpt_dir, epoch: int, params, cfg=None, opt_state=None) -> P
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = (ckpt_dir / f"epoch_{epoch:04d}").resolve()
-    _ckptr().save(path, params, force=True)
+    c = _ckptr()
+    c.save(path, params, force=True)
     if opt_state is not None:
         # full-resume state (Lightning checkpoints carry optimizer state too)
-        _ckptr().save(Path(str(path) + "_opt"), opt_state, force=True)
+        c.save(Path(str(path) + "_opt"), opt_state, force=True)
+    # orbax saves are ASYNC: block until the directories are final BEFORE
+    # latest.json is written. A process that exits right after fit()
+    # (skip_test segments) used to kill the write mid-flight, leaving an
+    # .orbax-checkpoint-tmp dir + a latest.json pointing at it — and the
+    # next segment "found no checkpoint" and restarted from scratch
+    # (bunny epoch-679 incident, round 5).
+    c.wait_until_finished()
     if cfg is not None:
         with open(ckpt_dir / "config.yaml", "w") as f:
             yaml.safe_dump(cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg), f)
@@ -55,12 +63,39 @@ def save_checkpoint(ckpt_dir, epoch: int, params, cfg=None, opt_state=None) -> P
     return path
 
 
+def _complete_epoch_dirs(ckpt_dir):
+    """Sorted [(epoch, path)] of COMPLETE param checkpoints (skips _opt
+    companions and interrupted .orbax-checkpoint-tmp writes)."""
+    out = []
+    for p in Path(ckpt_dir).glob("epoch_[0-9]*"):
+        name = p.name
+        if (
+            name.endswith("_opt")
+            or ".orbax-checkpoint-tmp" in name
+            or not p.is_dir()
+        ):
+            continue
+        try:
+            ep = int(name.split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        out.append((ep, p))
+    return sorted(out)
+
+
 def latest_checkpoint(ckpt_dir) -> Optional[Path]:
     meta = Path(ckpt_dir) / "latest.json"
-    if not meta.exists():
-        return None
-    with open(meta) as f:
-        return Path(json.load(f)["path"])
+    if meta.exists():
+        with open(meta) as f:
+            p = Path(json.load(f)["path"])
+        if p.is_dir():
+            return p
+    # latest.json missing, unreadable, or pointing at an interrupted
+    # async write: fall back to the newest COMPLETE epoch dir instead of
+    # "no checkpoint" — a killed save must cost one checkpoint interval,
+    # never a from-scratch restart over a long continuation.
+    done = _complete_epoch_dirs(ckpt_dir)
+    return done[-1][1].resolve() if done else None
 
 
 def load_checkpoint(path, example_params) -> Any:
