@@ -224,10 +224,13 @@ def main():
             f"{e2e['iters']:.0f} iters, n={e2e['n']})")
 
     # ---- 3) large case n≈50k (reference large row is n=49,152) --------
-    # stays on the 16-wide model: at n=50k the model is applied OOD (no
-    # trained res=36 checkpoint) and construction scales ~linearly with
-    # width x slots — per-size model choice is a deployment knob, the
-    # capability demonstrated here is scale
+    # prefers the in-distribution res=36 model (VERDICT r4 item 5 —
+    # trained on generated/heat_r36, 16-wide); falls back to the 16-wide
+    # heat_r20 model applied OOD when no r36 checkpoint exists
+    big_ckpt = "outputs/heat_r36/checkpoints"
+    if not os.path.isdir(big_ckpt):
+        big_ckpt = "outputs/heat_r20_v2/checkpoints"
+        log("n~50k case: no trained res=36 checkpoint, using heat_r20 OOD")
     big_prefix = "output/bench_heat_r36"
     try:
         if not os.path.isdir(os.path.join(big_prefix, "mat")):
@@ -239,7 +242,7 @@ def main():
             ).generate()
         with tempfile.TemporaryDirectory() as td:
             big = _infer_neural_row(
-                big_prefix, "outputs/heat_r20_v2/checkpoints", td,
+                big_prefix, big_ckpt, td,
                 extra=heat_cfg,
             )
         if big:

@@ -119,3 +119,34 @@ def test_fused_construct_and_solve():
     assert bool(conv), (int(iters), float(relres))
     true = np.linalg.norm(a_m @ x - b) / np.linalg.norm(b)
     assert true < 5e-6, true
+
+
+def test_fused_construct_and_solve_ds_tier():
+    """Round 5: the fused path's full-ds escalation tier
+    (spmv_precision='ds' -> ds A-matvec AND ds factor applies over
+    exact-zero lo planes) converges on the TRUE residual."""
+    ap, n, rows, cols, ef, mask, params, layout, sc = _setup()
+    coo = ap.tocoo()
+    blocks = coo.data.reshape(-1, 1, 1)
+    a_m = graph_to_csr(np.stack([rows, cols]), blocks, n, mask=mask)
+    blocks64 = coo.data.astype(np.float64).reshape(-1, 1)
+    b_hi = blocks64.astype(np.float32)
+    ap_sc = slot_scatter(layout.sg, b_hi)
+    a_vf, _ = expand_block_planes(layout, ap_sc, ap_sc)
+    lo = (blocks64 - b_hi.astype(np.float64)).astype(np.float32)
+    lo_sc = slot_scatter(layout.sg, lo)
+    a_lo, _ = expand_block_planes(layout, lo_sc, lo_sc)
+    s_sys, a_sys, _, _ = scalar_scale_add(layout, mask)
+    g_a = dataclasses.replace(
+        layout.pattern, vals=a_vf * s_sys + a_sys, vals_lo=a_lo * s_sys
+    )
+    xstar = np.random.default_rng(3).standard_normal(n) * mask
+    b = a_m @ xstar
+    x64, iters, relres, conv, _reb = sc.construct_and_solve(
+        g_a, jnp.asarray(b), epsilon=1.0, rtol=1e-6, max_iter=5 * n,
+        impl="xla", spmv_precision="ds",
+    )
+    x = np.asarray(x64).reshape(-1)[:n]
+    assert bool(conv), (int(iters), float(relres))
+    true = np.linalg.norm(a_m @ x - b) / np.linalg.norm(b)
+    assert true < 5e-6, true

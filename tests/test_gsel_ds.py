@@ -319,3 +319,64 @@ def test_rr_rebound_detection_and_escalation():
     assert int(r_esc.iters) == int(r_ds.iters), (
         int(r_esc.iters), int(r_ds.iters)
     )
+
+
+def test_rr_second_level_escalation_prec_ds():
+    """Round 5: an rds (ds-A) trajectory that still rebounds escalates
+    to the full-ds tier (ds factor applies over zero lo planes — exact,
+    since the factor values are f32). Forced via escalate_on_rebound=
+    'force' from the ds_a tier with an SPAI preconditioner attached."""
+    import scipy.sparse as sp
+
+    from tpu_spai.datagen.meshes import unit_box_tet
+    from tpu_spai.dist.partition import rcm_permutation
+    from tpu_spai.native import fsai, laplacian, lumped_mass
+    from tpu_spai.solver.gsel_solver import (
+        GselSpaiPrec,
+        build_gsel_csr,
+        pcg_gsel_rr,
+        prec_with_ds_planes,
+    )
+
+    nodes, elems = unit_box_tet(10, 10, 10)
+    a = sp.csr_matrix(
+        laplacian(nodes, elems) + sp.diags(1e-2 * lumped_mass(nodes, elems))
+    )
+    perm = rcm_permutation(a)
+    ap = a[perm][:, perm].tocsr()
+    ap.sort_indices()
+    n = ap.shape[0]
+    lhat = sp.csr_matrix(fsai(ap).T)
+    g = build_gsel_csr(ap, double_single=True)
+    gl = build_gsel_csr(lhat)
+    glt = build_gsel_csr(sp.csr_matrix(lhat.T).tocsr())
+    prec = GselSpaiPrec(gl, glt, jnp.float32(3e-3), impl="xla")
+    b64 = ap @ np.ones(n)
+
+    # the upgraded prec applies identically on the hi planes
+    pds = prec_with_ds_planes(prec)
+    r32 = jnp.asarray(np.random.default_rng(1).standard_normal(n),
+                      jnp.float32)
+    y0 = np.asarray(prec(r32))
+    y1 = np.asarray(pds(r32))
+    assert np.allclose(y0, y1, rtol=1e-6, atol=1e-30)
+
+    # forced full-ds escalation from the ds_a tier: converged, honest
+    # TRUE residual, same count as a direct prec_ds run
+    r_esc = pcg_gsel_rr(
+        g, jnp.asarray(b64), prec=prec, rtol=1e-6, max_iter=20000,
+        impl="xla", spmv_precision="ds_a", escalate_on_rebound="force",
+    )
+    r_direct = pcg_gsel_rr(
+        g, jnp.asarray(b64), prec=pds, rtol=1e-6, max_iter=20000,
+        impl="xla", spmv_precision="ds", escalate_on_rebound=False,
+    )
+    # escalation only fires when the probe rebounded; force semantics
+    # keep the honest path either way
+    assert bool(r_esc.converged)
+    x = np.asarray(r_esc.x).reshape(-1)
+    true = np.linalg.norm(ap @ x - b64) / np.linalg.norm(b64)
+    assert true < 5e-6, true
+    if bool(r_esc.escalated):
+        assert int(r_esc.iters) == int(r_direct.iters), (
+            int(r_esc.iters), int(r_direct.iters))

@@ -291,32 +291,51 @@ def main(argv=None):
                             )
 
                             def _mk_rr(sp):
+                                po = prec_obj
+                                if sp == "ds" and po is not None:
+                                    from ..solver.gsel_solver import (
+                                        prec_with_ds_planes,
+                                    )
+
+                                    po = prec_with_ds_planes(po)
                                 return lambda: pcg_gsel_rr(
                                     ga_f, b_p.astype(jnp.float64),
-                                    prec=prec_obj, rtol=rtol,
+                                    prec=po, rtol=rtol,
                                     max_iter=msize, impl=impl,
                                     spmv_precision=sp,
                                     escalate_on_rebound=False,
                                 )
 
                             solve_ = _mk_rr(spmv_p)
-                            if spmv_p == "f32" and impl == "pallas":
+                            if impl == "pallas":
                                 # probe-then-pin rebound recovery
                                 # (VERDICT r4 item 4; pallas-only — the
                                 # xla/CPU path's matvec rounding makes
-                                # the counter noisy on healthy solves)
+                                # the counter noisy on healthy solves).
+                                # Tier chain f32 -> ds_a (rds) -> ds:
+                                # an rds solve that STILL rebounds has
+                                # f32 preconditioner-apply noise as the
+                                # remaining source (armadillo-scale
+                                # Hessians) — pin the full-ds tier.
                                 from ..solver.gsel_solver import (
                                     REBOUND_ESCALATE_THRESHOLD as _RT,
                                 )
 
-                                pr_ = solve_()
-                                if int(pr_.rebounds) >= _RT:
+                                _tiers = ["f32", "ds_a", "ds"]
+                                ti = _tiers.index(spmv_p)
+                                while True:
+                                    pr_ = solve_()
+                                    if (int(pr_.rebounds) < _RT
+                                            or ti + 1 >= len(_tiers)):
+                                        break
+                                    ti += 1
                                     log.info(
                                         "    rr rebound "
                                         f"x{int(pr_.rebounds)} detected "
-                                        "- escalating device row to rds"
+                                        "- escalating device row to "
+                                        f"{_tiers[ti]}"
                                     )
-                                    solve_ = _mk_rr("ds_a")
+                                    solve_ = _mk_rr(_tiers[ti])
                         else:
                             kw2 = dict(rtol=rtol, max_iter=msize, impl=impl)
                             if ds:
@@ -868,26 +887,31 @@ def main(argv=None):
                                 x_s, it_s, _rel, _cv, n_reb = slot_solve()
                                 np.asarray(x_s)  # untimed validation
                                 # probe-then-pin rebound recovery
-                                # (VERDICT r4 item 4): a rebounding f32-A
-                                # trajectory (bad branch of the mask-rhs
-                                # bistability) pins this sample's timed
-                                # tier to ds_a (rds)
+                                # (VERDICT r4 item 4): tier chain
+                                # f32 -> ds_a (rds) -> ds, as in the
+                                # plane path above
                                 from ..solver.gsel_solver import (
                                     REBOUND_ESCALATE_THRESHOLD as _RT,
                                 )
 
-                                if (spmv_p == "f32" and impl == "pallas"
-                                        and int(n_reb) >= _RT):
-                                    log.info(
-                                        f"    rr rebound x{int(n_reb)} "
-                                        "detected - escalating fused "
-                                        "solve to rds"
-                                    )
-                                    slot_solve = _mk_slot_solve("ds_a")
-                                    x_s, it_s, _rel, _cv, n_reb = (
-                                        slot_solve()
-                                    )
-                                    np.asarray(x_s)
+                                if impl == "pallas":
+                                    _tiers = ["f32", "ds_a", "ds"]
+                                    ti = _tiers.index(spmv_p)
+                                    while (int(n_reb) >= _RT
+                                           and ti + 1 < len(_tiers)):
+                                        ti += 1
+                                        log.info(
+                                            f"    rr rebound x{int(n_reb)}"
+                                            " detected - escalating fused"
+                                            f" solve to {_tiers[ti]}"
+                                        )
+                                        slot_solve = _mk_slot_solve(
+                                            _tiers[ti]
+                                        )
+                                        x_s, it_s, _rel, _cv, n_reb = (
+                                            slot_solve()
+                                        )
+                                        np.asarray(x_s)
                                 t0 = time.perf_counter()
                                 for _ in range(repeat):
                                     x_s, it_s, _rel, _cv, n_reb = (

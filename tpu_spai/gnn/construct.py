@@ -83,21 +83,30 @@ def _construct_chain(params, sgb, perm_f, perm_r, gf_f, gf_r, lmask,
 
 @partial(
     jax.jit,
-    static_argnames=("gnn_impl", "bb", "impl", "a_ds", "k_inner"),
+    static_argnames=("gnn_impl", "bb", "impl", "a_ds", "prec_ds",
+                     "k_inner"),
 )
 def _construct_solve(params, sgb, perm_f, perm_r, gf_f, gf_r, lmask, xp,
                      e_f, e_r, sf, af, sr, ar, pattern, g_a, b64, eps,
                      inv_diag, rtol, max_it, gnn_impl, bb, impl, a_ds,
-                     k_inner):
+                     prec_ds, k_inner):
     vf, vr = _construct(
         params, sgb, perm_f, perm_r, gf_f, gf_r, lmask, xp, e_f, e_r, sf,
         af, sr, ar, gnn_impl=gnn_impl, bb=bb,
     )
-    lpl = dataclasses.replace(pattern, vals=vf)
-    ltp = dataclasses.replace(pattern, vals=vr)
+    if prec_ds:
+        # full-ds escalation tier: the GNN emits f32 values, so the
+        # factor's double-single lo planes are exact zeros
+        zf = jnp.zeros_like(vf)
+        lpl = dataclasses.replace(pattern, vals=vf, vals_lo=zf)
+        ltp = dataclasses.replace(pattern, vals=vr, vals_lo=zf)
+    else:
+        lpl = dataclasses.replace(pattern, vals=vf)
+        ltp = dataclasses.replace(pattern, vals=vr)
     prec = GselSpaiPrec(lpl, ltp, eps, inv_diag=inv_diag, impl=impl)
     return _rr_run_grouped(
-        g_a, prec, b64, rtol, max_it, impl, k_inner, a_ds=a_ds
+        g_a, prec, b64, rtol, max_it, impl, k_inner, a_ds=a_ds,
+        prec_ds=prec_ds,
     )
 
 
@@ -164,7 +173,8 @@ class SlotConstructor:
             jnp.float32(epsilon), inv_diag,
             jnp.float64(rtol), jnp.int32(max_iter),
             gnn_impl=self.gnn_impl, bb=self.bb, impl=impl,
-            a_ds=spmv_precision in ("ds", "ds_a"), k_inner=k_inner,
+            a_ds=spmv_precision in ("ds", "ds_a"),
+            prec_ds=spmv_precision == "ds", k_inner=k_inner,
         )
 
 

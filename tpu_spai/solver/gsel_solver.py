@@ -903,6 +903,21 @@ def _rr_run_grouped(g_a, prec, b64, rtol_s, max_it, impl, k_inner,
 # treat the counter as diagnostic only.
 REBOUND_ESCALATE_THRESHOLD = 1
 
+
+def prec_with_ds_planes(prec: GselSpaiPrec) -> GselSpaiPrec:
+    """Upgrade an f32-plane SPAI preconditioner for the prec_ds tier.
+
+    The factor values ARE f32 (the GNN emits f32), so their double-single
+    representation is exactly (vals, 0) — the lo planes are zeros and the
+    upgrade is value-free. Used by the rds->ds rebound escalation."""
+
+    def up(g: GselPlanes) -> GselPlanes:
+        if g.vals_lo is not None:
+            return g
+        return dataclasses.replace(g, vals_lo=jnp.zeros_like(g.vals))
+
+    return dataclasses.replace(prec, l_fwd=up(prec.l_fwd), l_t=up(prec.l_t))
+
 _rr_grouped_jit = jax.jit(
     _rr_run_grouped, static_argnames=("impl", "k_inner", "a_ds", "prec_ds")
 )
@@ -973,6 +988,7 @@ def pcg_gsel_rr(
             escalate_on_rebound == "force"
             or (bool(escalate_on_rebound) and impl == "pallas")
         )
+        escalated = False
         if (want_esc and not a_ds
                 and int(n_reb) >= REBOUND_ESCALATE_THRESHOLD):
             # bad-branch recovery (VERDICT r4 item 4): the f32-A rr
@@ -981,10 +997,27 @@ def pcg_gsel_rr(
             # fp64-grade and do not exhibit the bistability. The caller's
             # wall-clock honestly includes both attempts; the reported
             # iteration count is the recovered solve's.
+            a_ds = True
+            escalated = True
             x64, iters, relres, conv, n_reb = _rr_grouped_jit(
                 g_a, prec, b64, jnp.float64(rtol), jnp.int32(max_iter),
                 impl, 16, a_ds=True, prec_ds=prec_ds,
             )
+        if (want_esc and a_ds and not prec_ds
+                and isinstance(prec, GselSpaiPrec)
+                and int(n_reb) >= REBOUND_ESCALATE_THRESHOLD):
+            # second level (round 5): an rds trajectory that STILL
+            # rebounds (armadillo-scale Hessians: committed device rows
+            # 8,940 vs host 6,569) has f32 preconditioner-apply noise as
+            # the remaining perturbation source — run the full-ds tier
+            # (ds A-matvec AND ds factor applies; the factor's lo planes
+            # are exact zeros since the GNN emits f32 values).
+            escalated = True
+            x64, iters, relres, conv, n_reb = _rr_grouped_jit(
+                g_a, prec_with_ds_planes(prec), b64, jnp.float64(rtol),
+                jnp.int32(max_iter), impl, 16, a_ds=True, prec_ds=True,
+            )
+        if escalated:
             return CGResult(
                 x=x64, iters=iters, relres=relres, converged=conv,
                 rebounds=n_reb, escalated=True,
