@@ -128,11 +128,56 @@ def main():
     lay = sc.layout
     xp, e_f, e_r, sff, aff, srr, arr = sc.ops
 
+    # flagship system planes on the layout grid (for per-variant
+    # iteration counts: does FFN-dot precision move convergence?)
+    from tpu_spai.gnn.slotted import slot_scatter
+    from tpu_spai.gnn.slotted_block import (
+        expand_block_planes,
+        scalar_scale_add,
+    )
+    from tpu_spai.solver.gsel_solver import (
+        GselSpaiPrec,
+        pcg_gsel_rr,
+    )
+    import dataclasses as _dc
+
+    blocks_v = np.asarray(batch.graph.blocks)[:e_valid]
+    mask_v = np.asarray(batch.mask)[:n_valid].reshape(-1)
+    a_csr = graph_to_csr(ei_v, blocks_v, n_valid, mask=mask_v)
+    b64 = a_csr @ mask_v.astype(np.float64)
+    blocks64 = blocks_v.astype(np.float64).reshape(e_valid, -1)
+    b_hi = blocks64.astype(np.float32)
+    ap_sc = slot_scatter(lay.sg, b_hi)
+    a_vf, _ = expand_block_planes(lay, ap_sc, ap_sc)
+    lo_sc = slot_scatter(
+        lay.sg, (blocks64 - b_hi.astype(np.float64)).astype(np.float32))
+    a_lo, _ = expand_block_planes(lay, lo_sc, lo_sc)
+    s_sys, a_sys, _, _ = scalar_scale_add(lay, mask_v[bperm])
+    g_sys = _dc.replace(
+        lay.pattern, vals=a_vf * s_sys + a_sys, vals_lo=a_lo * s_sys)
+    b_p = jnp.asarray(b64[(bperm[:, None] * b_sz
+                           + np.arange(b_sz)[None, :]).reshape(-1)
+                          if b_sz > 1 else bperm])
+
+    def variant_iters(vf, vr):
+        prec = GselSpaiPrec(
+            _dc.replace(lay.pattern, vals=vf),
+            _dc.replace(lay.pattern, vals=vr),
+            jnp.float32(float(ws.epsilon)), impl=impl)
+        r = pcg_gsel_rr(
+            g_sys, b_p, prec=prec, rtol=1e-6, max_iter=20000, impl=impl,
+            spmv_precision="ds_a", escalate_on_rebound=False)
+        return int(r.iters), int(r.rebounds)
+
     out = {"impl": impl, "variants": {}}
     variants = [
         ("base", "0", jax.lax.Precision.HIGHEST),
         ("stacked", "1", jax.lax.Precision.HIGHEST),
         ("stacked3", "1", jax.lax.Precision.HIGH),
+        # 1-pass bf16 FFN dots (gather dot stays HIGHEST/exact): the
+        # factor is a preconditioner — if iterations hold, this is the
+        # big forward lever (6 passes -> 1 per learned contraction)
+        ("stacked1", "1", jax.lax.Precision.DEFAULT),
     ]
     for name, stk, prec in variants:
         os.environ["TPU_SPAI_FUSED_STACKED"] = stk
@@ -151,7 +196,7 @@ def main():
             row = {"fwd_ms": round(t_fwd * 1e3, 3),
                    "construct_ms": round(t_con * 1e3, 3)}
             # factor-value drift vs the base variant (first variant)
-            vf, _vr = sc.construct()
+            vf, vr = sc.construct()
             v = np.asarray(vf).ravel()
             if name == "base":
                 out["_vf0"] = v
@@ -161,9 +206,11 @@ def main():
                 row["vals_rel_drift"] = float(
                     np.linalg.norm(v - v0)
                     / max(np.linalg.norm(v0), 1e-30))
+            row["iters"], row["rebounds"] = variant_iters(vf, vr)
             out["variants"][name] = row
             log(f"{name}: fwd {row['fwd_ms']} ms construct "
-                f"{row['construct_ms']} ms drift {row['vals_rel_drift']:.2e}")
+                f"{row['construct_ms']} ms drift {row['vals_rel_drift']:.2e}"
+                f" iters {row['iters']} (reb {row['rebounds']})")
         except Exception as exc:  # noqa: BLE001
             out["variants"][name] = {"error": f"{type(exc).__name__}: {exc}"}
             log(f"{name} FAILED: {exc}")

@@ -89,6 +89,14 @@ VARIANTS = {
             "data.use_edge_features_as_node_feature=mean",
         ],
     },
+    # round-5: confirm the heat_axes winner (ConjGradLoss_ANorm hit 31.0
+    # vs FSAI 30.67 at 500 epochs) at the 800-epoch scorecard budget
+    "heat_cg_800": {
+        "loss_cg": [
+            "scheduler.params.gamma=0.9975", "gnn_features=48",
+            "loss.name=ConjGradLoss_ANorm",
+        ],
+    },
     # round-3: heat_tetmesh second attempt (w64_g999 gave 32.3 = w48)
     "heat_final2": {
         "w48_mp8": [
