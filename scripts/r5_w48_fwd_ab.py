@@ -179,6 +179,12 @@ def main():
         # big forward lever (6 passes -> 1 per learned contraction)
         ("stacked1", "1", jax.lax.Precision.DEFAULT),
     ]
+    # R5_AB_ONLY=stacked3,stacked1 limits the timed variants (each costs
+    # ~13 min of fused-kernel compilation on the relay; the first queue6
+    # run timed out after base+stacked). base still provides the drift
+    # reference via one cheap un-timed construct() when filtered out.
+    only = os.environ.get("R5_AB_ONLY", "")
+    only_set = set(only.split(",")) if only else None
     for name, stk, prec in variants:
         os.environ["TPU_SPAI_FUSED_STACKED"] = stk
         sf._FFN_PRECISION = prec
@@ -186,6 +192,12 @@ def main():
         fwd_chain.clear_cache()
         _construct.clear_cache()
         _construct_chain.clear_cache()
+        if only_set is not None and name not in only_set:
+            if name == "base":
+                vf, _vr = sc.construct()
+                out["_vf0"] = np.asarray(vf).ravel()
+                log("base: drift reference only (filtered)")
+            continue
         try:
             t_fwd = time_chain(lambda r: fwd_chain(
                 params, lay.sg, xp, e_f, e_r, r=r))
