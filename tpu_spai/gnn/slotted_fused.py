@@ -136,6 +136,7 @@ def _fused_vmem_limit(nf, ce, h, gk, t, x_resident_bytes,
 import os as _os
 
 _FFN_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }[_os.environ.get("TPU_SPAI_FFN_PRECISION", "highest").lower()]
