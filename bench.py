@@ -170,7 +170,14 @@ def main():
 
     rows = []
     for res in (24, 48):
-        row = spmv_roofline_row(res, hbm_gbps=bw, reps=5)
+        # paired_stream brackets each SpMV timing with its own STREAM
+        # measurements so the normalized fraction is co-phased (the
+        # session-global STREAM above is reported but not the
+        # denominator — round-5: a phase flip between the global STREAM
+        # and the SpMV block under-reported 0.55 where the co-phased
+        # window reads ~0.74)
+        row = spmv_roofline_row(res, hbm_gbps=bw, reps=5,
+                                paired_stream=True)
         if row:
             rows.append(row)
     detail["stream_raw_gbps"] = round(stream, 1) if stream else None
@@ -179,17 +186,16 @@ def main():
     if stream:
         detail["stream_gbps"] = round(stream, 1)
     for row in rows:
-        if stream:
+        if row.get("roofline_frac_normalized") is None and stream:
+            # bracket unavailable (exception path): session-global fallback
             row["stream_gbps"] = round(stream, 1)
             row["roofline_frac_normalized"] = round(row["gbps"] / stream, 4)
-            if row["gbps"] > stream:
-                row["exceeds_stream"] = True
-                log(f"WARNING: SpMV n={row['n']} rate {row['gbps']} GB/s "
-                    f"exceeds measured STREAM {stream:.0f} GB/s — STREAM "
-                    f"differencing likely straddled a worker phase; "
-                    f"reporting the >1.0 fraction as-is")
-        else:
-            row["roofline_frac_normalized"] = None
+        if row.get("roofline_frac_normalized") is not None \
+                and row["roofline_frac_normalized"] > 1.0:
+            row["exceeds_stream"] = True
+            log(f"WARNING: SpMV n={row['n']} rate {row['gbps']} GB/s "
+                f"exceeds its bracketing STREAM {row['stream_gbps']} GB/s "
+                f"— reporting the >1.0 fraction as-is")
         detail[f"spmv_n{row['n']}"] = row
         norm = row["roofline_frac_normalized"]
         log(f"SpMV n={row['n']}: {row['spmv_us']} us, "

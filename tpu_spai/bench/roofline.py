@@ -101,10 +101,43 @@ def measure_stream_gbps(
     return best
 
 
+def bracketed_measure(time_fn, stream_fn, tol: float = 0.15,
+                      max_slides: int = 2):
+    """Time a kernel co-phased with its STREAM denominator.
+
+    Runs ``stream_fn; time_fn; stream_fn``; if the two STREAM endpoints
+    disagree by more than ``tol`` the worker phase flipped inside the
+    window, so the window SLIDES (the later STREAM becomes the leading
+    endpoint and the kernel is re-timed adjacent to it) up to
+    ``max_slides`` times. Returns ``(t, s_pre, s_post, flipped)`` where
+    ``flipped`` means the final bracket still disagrees."""
+    s_pre = stream_fn()
+    t = time_fn()
+    s_post = stream_fn()
+    for _ in range(max_slides):
+        if abs(s_pre - s_post) <= tol * max(s_pre, s_post):
+            break
+        s_pre = s_post
+        t = time_fn()
+        s_post = stream_fn()
+    flipped = abs(s_pre - s_post) > tol * max(s_pre, s_post)
+    return t, s_pre, s_post, flipped
+
+
 def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
                       reps: int = 7,
-                      stream_gbps: Optional[float] = None) -> Optional[dict]:
-    """Measured isolated-SpMV roofline entry for one heat size."""
+                      stream_gbps: Optional[float] = None,
+                      paired_stream: bool = False) -> Optional[dict]:
+    """Measured isolated-SpMV roofline entry for one heat size.
+
+    With ``paired_stream`` the SpMV timing is BRACKETED by two quick
+    STREAM measurements so numerator and denominator share the worker
+    phase window (round-5: a session-global 3-attempt STREAM max caught
+    a fast phase while the SpMVs ran a slow one — normalized 0.548 vs
+    the co-phased 0.74 of round 4). If the bracket disagrees by >15%
+    the phase flipped inside the window: slide the window (re-time the
+    SpMV adjacent to the later STREAM) up to twice, then flag. The
+    denominator is always STREAM — never the SpMV under test."""
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +163,15 @@ def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
         return y
 
     r1, r2 = (100, 2100) if n < 50_000 else (50, 650)
-    t_spmv = measure_chain(lambda m: chain(x0, m), r1, r2, reps=reps)
+    time_spmv = lambda: measure_chain(  # noqa: E731
+        lambda m: chain(x0, m), r1, r2, reps=reps)
+    s_pre = s_post = None
+    window_flip = False
+    if paired_stream:
+        t_spmv, s_pre, s_post, window_flip = bracketed_measure(
+            time_spmv, lambda: measure_stream_gbps(reps=3))
+    else:
+        t_spmv = time_spmv()
     bytes_total = b_in + b_out
     gbps = bytes_total / t_spmv / 1e9
     row = {
@@ -144,7 +185,14 @@ def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
         "gbps": round(gbps, 1),
         "roofline_frac": round(gbps / hbm_gbps, 4),
     }
-    if stream_gbps:
+    if paired_stream and s_pre is not None:
+        local = max(s_pre, s_post)
+        row["stream_gbps"] = round(local, 1)
+        row["stream_bracket_gbps"] = [round(s_pre, 1), round(s_post, 1)]
+        if window_flip:
+            row["stream_window_flip"] = True
+        row["roofline_frac_normalized"] = round(gbps / local, 4)
+    elif stream_gbps:
         row["stream_gbps"] = round(stream_gbps, 1)
         row["roofline_frac_normalized"] = round(gbps / stream_gbps, 4)
     return row
