@@ -896,12 +896,16 @@ def _rr_run_grouped(g_a, prec, b64, rtol_s, max_it, impl, k_inner,
 
 # escalate the f32-A rr tier to ds-A when >= this many anchor groups
 # showed a TRUE-residual increase (bad-branch signature, docs/PERF.md
-# round-4a). Calibrated on-TPU by scripts/r5_rebound_probe.py: the
-# good-branch pallas trajectory (iters = host oracle) anchors
-# monotonically; the CPU/xla path's own matvec rounding produces 1-2
-# benign rebounds on healthy solves, so callers on that path should
-# treat the counter as diagnostic only.
-REBOUND_ESCALATE_THRESHOLD = 1
+# round-4a). Live on-chip calibration (round-5b, output/r5_queue8.log +
+# r5_w48_fwd_ab): a HEALTHY pallas flagship solve (iters 100 = host
+# oracle, zero factor drift) shows 2 benign rebounds, so threshold 1
+# escalated a clean solve and paid a spurious double-solve (+1.6 ms
+# device + one extra compile). Threshold 3 keeps the flagship clean and
+# still catches the n≈50k excursion case (6 rebounds; the 615-iteration
+# excursion band of rounds 3-4). The CPU/xla path's own matvec rounding
+# produces 1-3 benign rebounds on healthy solves, so callers on that
+# path should treat the counter as diagnostic only.
+REBOUND_ESCALATE_THRESHOLD = 3
 
 
 def prec_with_ds_planes(prec: GselSpaiPrec) -> GselSpaiPrec:
