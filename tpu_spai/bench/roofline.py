@@ -168,8 +168,14 @@ def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
     s_pre = s_post = None
     window_flip = False
     if paired_stream:
-        t_spmv, s_pre, s_post, window_flip = bracketed_measure(
-            time_spmv, lambda: measure_stream_gbps(reps=3))
+        try:
+            t_spmv, s_pre, s_post, window_flip = bracketed_measure(
+                time_spmv, lambda: measure_stream_gbps(reps=3))
+        except Exception:  # noqa: BLE001 — a failed STREAM bracket must
+            # not cost the SpMV row itself; the caller falls back to its
+            # session-global denominator (or reports unnormalized)
+            s_pre = s_post = None
+            t_spmv = time_spmv()
     else:
         t_spmv = time_spmv()
     bytes_total = b_in + b_out
