@@ -169,6 +169,13 @@ def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
     window_flip = False
     if paired_stream:
         try:
+            # compile both chain endpoints BEFORE the bracket window: at
+            # n=117k the first warm call inside measure_chain costs
+            # ~30-60 s of XLA compile, which would span worker-phase
+            # flips inside the bracket by construction (the timed calls
+            # themselves take ~2-4 s)
+            np.asarray(chain(x0, r2))
+            np.asarray(chain(x0, r1))
             t_spmv, s_pre, s_post, window_flip = bracketed_measure(
                 time_spmv, lambda: measure_stream_gbps(reps=3))
         except Exception:  # noqa: BLE001 — a failed STREAM bracket must
