@@ -56,7 +56,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _device_watchdog(seconds: int = 1500):
+def _device_watchdog(seconds: int = 2400):
+    # 2400 (round-5): a full run with BOTH infer compiles + a rebound
+    # escalation recompile measured ~1200 s in a normal phase
+    # (output/r5_bench_final.json.log); a slow-phase capture can double
+    # compile times, and the watchdog must only catch a DOWN tunnel —
+    # not a slow-but-progressing run.
     """Fail with one JSON line instead of hanging if the TPU tunnel is
     down (the axon worker can take ~10-40 min to recover)."""
     import signal
