@@ -136,12 +136,12 @@ def main():
 
     import tpu_spai  # noqa: F401
 
-    cancel = _device_watchdog(1500)
+    cancel = _device_watchdog()
     import jax.numpy as jnp
 
     jnp.ones(8).sum().block_until_ready()  # first device contact
     cancel()
-    cancel = _device_watchdog(1500)
+    cancel = _device_watchdog()
 
     dev = jax.devices()[0]
     plat = str(getattr(dev, "device_kind", "unknown")).lower()
@@ -165,7 +165,8 @@ def main():
     from tpu_spai.bench.roofline import measure_stream_gbps, spmv_roofline_row
 
     try:
-        stream, stream_attempts = measure_stream_gbps(return_attempts=True)
+        stream, stream_attempts = measure_stream_gbps(
+            return_attempts=True, cap_gbps=bw)
         log(f"co-measured STREAM: {stream:.0f} GB/s "
             f"({100*stream/bw:.0f}% of nominal {bw:.0f}; attempts "
             f"{[round(a, 1) for a in stream_attempts]})")

@@ -57,7 +57,8 @@ def measure_chain(fn, r1: int, r2: int, reps: int = 7) -> float:
 
 
 def measure_stream_gbps(
-    m_floats: int = 24 * 2**20, reps: int = 5, return_attempts: bool = False
+    m_floats: int = 24 * 2**20, reps: int = 5, return_attempts: bool = False,
+    cap_gbps: Optional[float] = None,
 ):
     """Achievable HBM bandwidth via a chained axpby stream, measured
     IN-PROCESS — the phase-normalization denominator (VERDICT r3 weak
@@ -84,18 +85,30 @@ def measure_stream_gbps(
         return y
 
     # best-of-attempts: a single differencing can straddle a worker
-    # phase boundary and report nonsense (observed 66.5 GB/s once while
-    # the SpMV seconds later streamed at 379 — output/r4_queue7.log);
-    # the denominator must be the ACHIEVABLE bandwidth of this session,
-    # so take the max over independent attempts and retry once more if
-    # everything looks implausibly low
+    # phase boundary and report nonsense — observed 66.5 GB/s once
+    # while the SpMV later streamed at 379 (r4_queue7.log), and under
+    # fast phase-thrash even NEGATIVE or >nominal rates (round-5:
+    # attempts [1302.7, -657.3] on an 819 GB/s part, when the r2
+    # endpoint rides a faster phase than r1). The denominator must be
+    # the ACHIEVABLE bandwidth of this session: keep only physical
+    # attempts (0 < rate <= 1.02 * nominal when cap_gbps is given) and
+    # take their max; retry while everything is non-physical or
+    # implausibly low.
     attempts = []
-    for attempt in range(3):
+    for attempt in range(5):
         t = measure_chain(lambda m: chain(y0, x, m), 8, 48, reps=reps)
         attempts.append(3 * m_floats * 4 / t / 1e9)
-        if attempt >= 1 and max(attempts) > 200.0:
+        valid = [a for a in attempts
+                 if a > 0 and (cap_gbps is None or a <= 1.02 * cap_gbps)]
+        if attempt >= 1 and valid and max(valid) > 200.0:
             break
-    best = max(attempts)
+    valid = [a for a in attempts
+             if a > 0 and (cap_gbps is None or a <= 1.02 * cap_gbps)]
+    if not valid:
+        # every differencing straddled a flip — surface the failure
+        # rather than normalizing against an artifact
+        raise RuntimeError(f"no physical STREAM attempt: {attempts}")
+    best = max(valid)
     if return_attempts:
         return best, attempts
     return best
@@ -177,7 +190,8 @@ def spmv_roofline_row(res: int, hbm_gbps: float = 819.0,
             np.asarray(chain(x0, r2))
             np.asarray(chain(x0, r1))
             t_spmv, s_pre, s_post, window_flip = bracketed_measure(
-                time_spmv, lambda: measure_stream_gbps(reps=3))
+                time_spmv,
+                lambda: measure_stream_gbps(reps=3, cap_gbps=hbm_gbps))
         except Exception:  # noqa: BLE001 — a failed STREAM bracket must
             # not cost the SpMV row itself; the caller falls back to its
             # session-global denominator (or reports unnormalized)
